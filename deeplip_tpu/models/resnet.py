@@ -1,0 +1,106 @@
+"""ResNet-18-style 2D trunk for the lipreading network (Flax, NHWC).
+
+Rebuilds ``models/video_models/resnet.py`` TPU-first: NHWC layout (XLA's
+native conv layout on TPU — channels on the 128-lane axis), no stem (the 3D
+frontend of :class:`deeplip_tpu.models.lipreading.Lipreading` replaces
+conv1/maxpool, as in the reference where ``ResNet`` starts at ``layer1``,
+``resnet.py:81``), BasicBlocks [2, 2, 2, 2] with stride 1/2/2/2, per-channel
+PReLU or ReLU, 1x1-conv downsampling (or the avg-pool variant of
+``downsample_basic_block_v2``), and a global average pool to ``(B, 512)``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch ``nn.PReLU(num_parameters=C)`` semantics)."""
+
+    init_alpha: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", lambda k, s: jnp.full(s, self.init_alpha, jnp.float32), (x.shape[-1],)
+        )
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _relu_layer(relu_type: str):
+    if relu_type == "relu":
+        return lambda name: nn.relu
+    if relu_type == "prelu":
+        return lambda name: PReLU(name=name)
+    raise ValueError(f"relu type {relu_type!r} not implemented")
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-BN-act-conv3x3-BN + (optional downsample) residual."""
+
+    planes: int
+    stride: int = 1
+    relu_type: str = "prelu"
+    avg_pool_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        make_act = _relu_layer(self.relu_type)
+        needs_down = self.stride != 1 or x.shape[-1] != self.planes
+        residual = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, name="conv1",
+        )(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(out)
+        act1 = make_act("relu1")
+        out = act1(out) if self.relu_type == "relu" else act1(out)
+        out = nn.Conv(
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2"
+        )(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(out)
+        if needs_down:
+            if self.avg_pool_downsample:
+                residual = nn.avg_pool(
+                    residual,
+                    (self.stride, self.stride),
+                    strides=(self.stride, self.stride),
+                    padding=((0, 0), (0, 0)),
+                    count_include_pad=False,
+                )
+                residual = nn.Conv(self.planes, (1, 1), use_bias=False, name="down_conv")(residual)
+            else:
+                residual = nn.Conv(
+                    self.planes, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, name="down_conv",
+                )(residual)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="down_bn"
+            )(residual)
+        out = out + residual
+        act2 = make_act("relu2")
+        return act2(out)
+
+
+class ResNetTrunk(nn.Module):
+    """Stemless ResNet: ``(B, H, W, C) -> (B, 512)``."""
+
+    layers: tuple[int, ...] = (2, 2, 2, 2)
+    relu_type: str = "prelu"
+    avg_pool_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        planes = (64, 128, 256, 512)
+        strides = (1, 2, 2, 2)
+        for stage, (p, s, n) in enumerate(zip(planes, strides, self.layers), start=1):
+            for i in range(n):
+                x = BasicBlock(
+                    planes=p,
+                    stride=s if i == 0 else 1,
+                    relu_type=self.relu_type,
+                    avg_pool_downsample=self.avg_pool_downsample,
+                    name=f"layer{stage}_block{i}",
+                )(x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)

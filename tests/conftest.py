@@ -28,6 +28,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # interpreter startup, so jax.config captured JAX_PLATFORMS from the ambient
 # env — override it through the config API, not just os.environ.
 import jax as _jax  # noqa: E402
+
+# Import libraries that register platform-specific lowerings (chex's checkify
+# rules for 'tpu', etc.) while the TPU platform is still known; after the
+# deregistration below, such registrations would raise.
+import chex as _chex  # noqa: E402, F401
+import optax as _optax  # noqa: E402, F401
+import flax as _flax  # noqa: E402, F401
+
 from jax._src import xla_bridge as _xla_bridge  # noqa: E402
 
 assert not _xla_bridge._backends, "conftest must run before JAX backend init"
