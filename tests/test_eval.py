@@ -1,0 +1,158 @@
+"""Tests for trial scoring, EER, fusion back-ends, and PLDA."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplip_tpu.eval.eer import eer_from_scores, eer_sweep
+from deeplip_tpu.eval.scoring import (
+    TrialList,
+    EmbeddingStore,
+    cosine_eer,
+    score_fusion_eer,
+    feature_fusion_eer,
+    feature_normalize,
+)
+from deeplip_tpu.eval.plda import PLDA, plda_eer
+
+
+def _synthetic_trials(n_spk=8, utts_per_spk=6, dim=32, noise=0.4, seed=0):
+    """Speaker-clustered embeddings + a trial list with known structure."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_spk, dim))
+    store = EmbeddingStore()
+    names, spk_of = [], {}
+    for s in range(n_spk):
+        for u in range(utts_per_spk):
+            name = f"s{s:02d}/u{u}.wav"
+            store[name] = centers[s] + noise * rng.standard_normal(dim)
+            names.append(name)
+            spk_of[name] = s
+    labels, u1s, u2s = [], [], []
+    for _ in range(2000):
+        a, b = rng.choice(len(names), 2, replace=False)
+        labels.append(int(spk_of[names[a]] == spk_of[names[b]]))
+        u1s.append(names[a])
+        u2s.append(names[b])
+    return TrialList(np.asarray(labels, np.int8), u1s, u2s), store, spk_of
+
+
+def test_trial_list_parse(tmp_path):
+    p = tmp_path / "trials.txt"
+    p.write_text("1 s14/prbv1p.wav s14/brwl7n.wav\n0 s14/prbv1p.wav s15/xyz.wav\n")
+    t = TrialList.load(str(p))
+    assert len(t) == 2
+    assert t.labels.tolist() == [1, 0]
+    assert t.unique_utts == ["s14/prbv1p.wav", "s14/brwl7n.wav", "s15/xyz.wav"]
+
+
+def test_reference_trial_lists_load():
+    for name, n_spk in [("trial_grid_v1.txt", 33), ("trial_lomgrid_v1.txt", 36)]:
+        path = os.path.join("/root/reference/database", name)
+        if not os.path.exists(path):
+            pytest.skip("reference database not mounted")
+        t = TrialList.load(path)
+        assert len(t) == 20000
+        assert int(t.labels.sum()) == 4000
+
+
+def test_cosine_eer_separates_clusters():
+    trials, store, _ = _synthetic_trials(noise=0.3)
+    eer, thr = cosine_eer(trials, store)
+    assert 0.0 <= eer < 0.05
+    trials_bad, store_bad, _ = _synthetic_trials(noise=5.0, seed=1)
+    eer_bad, _ = cosine_eer(trials_bad, store_bad)
+    assert eer_bad > eer
+
+
+def test_eer_formula_matches_sweep():
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 2, 4000)
+    scores = y * 1.0 + rng.standard_normal(4000)
+    e1, _ = eer_from_scores(y, scores)
+    e2, _ = eer_sweep(y, scores)
+    assert abs(e1 - e2) < 0.01
+
+
+def test_batched_scoring_matches_per_trial_loop():
+    """The one-matmul scorer must agree with a per-trial cosine loop."""
+    trials, store, _ = _synthetic_trials(n_spk=4, utts_per_spk=3)
+    eer_fast, _ = cosine_eer(trials, store)
+    scores = []
+    for a, b in zip(trials.utt1, trials.utt2):
+        va, vb = store[a], store[b]
+        scores.append(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    eer_loop, _ = eer_from_scores(trials.labels, np.asarray(scores))
+    assert abs(eer_fast - eer_loop) < 1e-9
+
+
+def test_score_fusion_improves_over_weak_modality():
+    trials, astore, spk_of = _synthetic_trials(noise=0.6, seed=3)
+    rng = np.random.default_rng(4)
+    vstore = EmbeddingStore()
+    for name in astore.table:
+        s = spk_of[name]
+        center = np.zeros(16)
+        center[s] = 3.0
+        vstore[name] = center + 0.2 * rng.standard_normal(16)
+    ea, _ = cosine_eer(trials, astore)
+    ef, _ = score_fusion_eer(trials, astore, vstore)
+    assert ef <= ea + 1e-9
+
+
+def test_feature_fusion_runs():
+    trials, astore, spk_of = _synthetic_trials(noise=0.5, seed=5)
+    vstore = EmbeddingStore()
+    rng = np.random.default_rng(6)
+    for name in astore.table:
+        vstore[name] = astore[name][:16] + 0.1 * rng.standard_normal(16)
+    eer, thr = feature_fusion_eer(trials, astore, vstore)
+    assert 0.0 <= eer <= 0.5
+
+
+def test_feature_normalize_semantics():
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    out = feature_normalize(v)
+    np.testing.assert_allclose(out.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(out.std(), 1.0, atol=1e-12)
+
+
+def test_npy_tree_roundtrip(tmp_path):
+    _, store, _ = _synthetic_trials(n_spk=2, utts_per_spk=2)
+    store.save_npy_tree(str(tmp_path))
+    loaded = EmbeddingStore.load_npy_tree(str(tmp_path), store.table.keys())
+    for k in store.table:
+        np.testing.assert_array_equal(loaded[k], store[k])
+
+
+def test_plda_fit_and_score():
+    rng = np.random.default_rng(7)
+    n_spk, per, dim = 10, 20, 32
+    centers = 2.0 * rng.standard_normal((n_spk, dim))
+    x = np.concatenate(
+        [centers[s] + rng.standard_normal((per, dim)) for s in range(n_spk)]
+    )
+    labels = np.repeat(np.arange(n_spk), per)
+    model = PLDA().fit(x, labels, n_principal_components=20)
+    # same-speaker pairs must score higher on average than different-speaker
+    same = model.score_pairs(centers + 0.5 * rng.standard_normal((n_spk, dim)),
+                             centers + 0.5 * rng.standard_normal((n_spk, dim)))
+    perm = np.roll(np.arange(n_spk), 1)
+    diff = model.score_pairs(centers, centers[perm])
+    assert same.mean() > diff.mean()
+
+
+def test_plda_eer_on_synthetic_trials(tmp_path):
+    trials, store, spk_of = _synthetic_trials(noise=0.4, seed=8)
+    x = np.stack([store[u] for u in store.table])
+    labels = np.asarray([spk_of[u] for u in store.table])
+    model = PLDA().fit(x, labels, n_principal_components=16)
+    eer, _ = plda_eer(trials, store, model)
+    assert eer < 0.1
+    # persistence round-trip
+    path = str(tmp_path / "plda.npz")
+    model.save(path)
+    model2 = PLDA.load(path)
+    eer2, _ = plda_eer(trials, store, model2)
+    assert abs(eer - eer2) < 1e-12
