@@ -1,0 +1,167 @@
+"""Audio train/test pipelines: host assembles raw PCM, device does the DSP.
+
+Training semantics mirror the reference collate
+(``models/audio_models/datasets.py:112-136``): per batch draw a crop length
+(bucketed, see :mod:`deeplip_tpu.data.sampler`); per sampled speaker,
+concatenate random-offset reads of random utterances of that speaker until
+the crop is filled; labels are the speaker ids. The difference is the
+output: the reference's workers run MFCC per utterance on CPU and ship
+``(B, 24, T)`` features; here the pipeline ships ``(B, samples)`` raw PCM
+and the jitted train step extracts features on the TPU (batched MXU
+matmuls), so host work is just IO + memcpy.
+
+Test-time extraction processes full utterances. The reference runs them one
+by one (``batch_size=1`` loaders, ``train_audio.py:97-100``); here
+utterances are grouped into length buckets, zero-padded, and batched with
+valid-length masks — exact per-utterance results (VALID convs + masked
+pooling) at batched throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from deeplip_tpu.data.audio_io import read_wav
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.prefetch import ThreadedPrefetcher
+from deeplip_tpu.data.sampler import SpeakerBatchSampler
+from deeplip_tpu.ops.framing import num_frames, samples_for_frames
+
+
+class AudioTrainPipeline:
+    """Speaker-balanced random-crop PCM batches, prefetched on host threads."""
+
+    def __init__(
+        self,
+        manifest: SpeakerManifest,
+        batch_size: int,
+        frame_range: tuple[int, int] = (200, 400),
+        win_len: float = 0.025,
+        win_shift: float = 0.01,
+        rate: int = 16000,
+        n_buckets: int = 11,
+        seed: int = 0,
+        num_workers: int = 8,
+        reader: Callable = read_wav,
+    ):
+        self.manifest = manifest
+        self.rate = rate
+        self.win_len = win_len
+        self.win_shift = win_shift
+        self.reader = reader
+        epoch_len = manifest.epoch_length(np.mean(frame_range), win_len, win_shift)
+        self.sampler = SpeakerBatchSampler(
+            manifest.n_spk, max(epoch_len, batch_size), batch_size,
+            frame_range, n_buckets, seed,
+        )
+        self.num_workers = num_workers
+
+    @property
+    def n_spk(self) -> int:
+        return self.manifest.n_spk
+
+    def batches_per_epoch(self) -> int:
+        return self.sampler.batches_per_epoch()
+
+    def _assemble(self, sids: np.ndarray, n_frames: int, seed: tuple) -> dict:
+        rng = np.random.default_rng(seed)
+        samples_num = samples_for_frames(n_frames, self.win_len, self.win_shift, self.rate)
+        batch = np.zeros((len(sids), samples_num), np.float32)
+        for row, sid in enumerate(sids):
+            speaker = self.manifest.speakers[sid]
+            pieces, n = [], 0
+            while n < samples_num:
+                utt = speaker[rng.integers(0, len(speaker))]
+                start = int(rng.uniform(0, utt.duration) * utt.rate)
+                y, _ = self.reader(utt.path, start=start, stop=None)
+                if len(y):
+                    pieces.append(y)
+                    n += len(y)
+            batch[row] = np.concatenate(pieces)[:samples_num]
+        return {
+            "pcm": batch,
+            "labels": sids.astype(np.int64),
+            "n_frames": n_frames,
+        }
+
+    def epoch(self, epoch_idx: int) -> Iterator[dict]:
+        schedule = [
+            (sids, n_frames, (self.sampler.seed, epoch_idx, i))
+            for i, (sids, n_frames) in enumerate(self.sampler.epoch(epoch_idx))
+        ]
+        yield from ThreadedPrefetcher(
+            schedule, self._assemble, num_workers=self.num_workers
+        )
+
+
+@dataclass
+class EvalUtterance:
+    name: str
+    path: str
+
+
+class EvalUtteranceSet:
+    """Length-bucketed batches of full test utterances.
+
+    ``bucket_frames`` quantizes feature lengths upward so a 20k-utterance
+    sweep compiles only a handful of shapes.
+    """
+
+    def __init__(
+        self,
+        utts: Sequence[EvalUtterance],
+        rate: int = 16000,
+        win_len: float = 0.025,
+        win_shift: float = 0.01,
+        bucket_frames: int = 100,
+        batch_size: int = 32,
+        reader: Callable = read_wav,
+        num_workers: int = 8,
+    ):
+        self.utts = list(utts)
+        self.rate = rate
+        self.win_len = win_len
+        self.win_shift = win_shift
+        self.bucket_frames = bucket_frames
+        self.batch_size = batch_size
+        self.reader = reader
+        self.num_workers = num_workers
+        self.frame_len = int(round(win_len * rate))
+        self.frame_step = int(round(win_shift * rate))
+
+    def _load(self, utt: EvalUtterance) -> tuple[str, np.ndarray]:
+        y, sr = self.reader(utt.path)
+        if sr != self.rate:
+            from deeplip_tpu.data.audio_io import resample
+
+            y = resample(y, sr, self.rate)
+        return utt.name, y.astype(np.float32)
+
+    def batches(self) -> Iterator[dict]:
+        """Yields ``{names, pcm (B, S), feat_lengths (B,)}`` per bucket chunk."""
+        loaded = list(
+            ThreadedPrefetcher(self.utts, self._load, num_workers=self.num_workers)
+        )
+        items = []
+        for name, y in loaded:
+            t = num_frames(len(y), self.frame_len, self.frame_step)
+            bucket_t = -(-t // self.bucket_frames) * self.bucket_frames
+            items.append((bucket_t, t, name, y))
+        items.sort(key=lambda it: (it[0], it[2]))
+        i = 0
+        while i < len(items):
+            bucket_t = items[i][0]
+            chunk = [it for it in items[i : i + self.batch_size] if it[0] == bucket_t]
+            i += len(chunk)
+            s_max = samples_for_frames(bucket_t, self.win_len, self.win_shift, self.rate)
+            pcm = np.zeros((len(chunk), s_max), np.float32)
+            lengths = np.zeros((len(chunk),), np.int32)
+            names = []
+            for row, (_, t, name, y) in enumerate(chunk):
+                pcm[row, : len(y)] = y[:s_max]
+                lengths[row] = t
+                names.append(name)
+            yield {"names": names, "pcm": pcm, "feat_lengths": lengths}

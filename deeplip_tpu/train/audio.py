@@ -1,0 +1,354 @@
+"""Audio x-vector trainer: config-driven, data-parallel over a device mesh.
+
+Orchestration parity with the reference's audio ``Trainer``
+(``train_audio.py:32-481``) — speaker-balanced random-crop batches, LMCL
+margin schedule (epoch ≤ 5 → init margin, then end margin,
+``train_audio.py:141-145``), SGD+MultiStepLR recipe, per-epoch checkpoints,
+last-N averaging, embedding extraction and cosine/PLDA scoring — but
+restructured TPU-first:
+
+- ONE jitted train step per crop-length bucket does feature extraction
+  (batched MXU DSP), forward, loss, backward, and the optimizer update;
+  the host only assembles PCM;
+- the batch is sharded over the mesh's ``data`` axis; XLA inserts the
+  gradient all-reduce over ICI (replaces ``torch.nn.DataParallel``). Batch
+  statistics are computed over the global batch (sync-BN) rather than the
+  reference's per-replica stats;
+- test extraction runs length-bucketed batches with masked pooling — the
+  padded batch reproduces per-utterance results exactly (VALID convs), at
+  batched throughput instead of the reference's ``batch_size=1`` loop;
+- donated state buffers keep HBM traffic minimal.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.data.audio_pipeline import AudioTrainPipeline, EvalUtteranceSet
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
+from deeplip_tpu.losses.softmax import AAMSoftmax, LMCL, build_criterion
+from deeplip_tpu.models.tdnn import SpeakerEmbNet
+from deeplip_tpu.ops import features as F
+from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.train import checkpoint as ckpt
+from deeplip_tpu.train.metrics import NanGuard, StepLogger
+from deeplip_tpu.train.schedules import multistep_schedule
+from deeplip_tpu.train.state import TrainState, build_optimizer
+
+
+def masked_cmvn(feat: jnp.ndarray, lengths: jnp.ndarray, eps: float = 2e-12) -> jnp.ndarray:
+    """Per-utterance CMVN over only the valid frames of a padded batch."""
+    mask = length_mask(lengths, feat.shape[1], dtype=feat.dtype)[..., None]
+    count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(feat * mask, axis=1, keepdims=True) / count
+    var = jnp.sum(((feat - mean) ** 2) * mask, axis=1, keepdims=True) / count
+    return (feat - mean) / (jnp.sqrt(var) + eps)
+
+
+class AudioTrainer:
+    """End-to-end audio speaker-verification trainer."""
+
+    def __init__(
+        self,
+        config: Config,
+        mesh=None,
+        exp_root: str = "exp",
+        log_time: str | None = None,
+        n_spk: int | None = None,
+    ):
+        self.cfg = config
+        self.data_opts = config.data
+        self.model_opts = config.model
+        self.train_opts = config.train
+        self.test_opts = config.get("test", Config())
+
+        self.feat_cfg = F.FeatureConfig.from_config(
+            self.data_opts.get("python_data_config", {})
+        )
+        import dataclasses as _dc
+
+        self.eval_feat_cfg = _dc.replace(self.feat_cfg, normalize=False, delta=False)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+
+        self.manifest = None
+        if self.data_opts.get("train_manifest") and os.path.exists(
+            self.data_opts["train_manifest"]
+        ):
+            self.manifest = SpeakerManifest.load(self.data_opts["train_manifest"])
+        self.n_spk = n_spk if n_spk is not None else (
+            self.manifest.n_spk if self.manifest else 0
+        )
+
+        self.model = SpeakerEmbNet.from_config(self.model_opts)
+        margin_range = self.train_opts.get("margin", [0.2, 0.2])
+        self.init_margin, self.end_margin = float(margin_range[0]), float(margin_range[-1])
+        self.loss_name = self.train_opts.get("loss", "LMCL")
+        self.criterion = build_criterion(
+            self.loss_name,
+            self.n_spk,
+            float(self.train_opts.get("scale", 30.0)),
+            self.init_margin,
+        )
+
+        self.batch_size = int(self.train_opts.get("bs", 256))
+        self.epochs = int(self.train_opts.get("epoch", 30))
+        self.pipeline = None
+        if self.manifest is not None:
+            self.pipeline = AudioTrainPipeline(
+                self.manifest,
+                self.batch_size,
+                frame_range=tuple(self.data_opts.get("frames", (200, 400))),
+                win_len=self.feat_cfg.win_len,
+                win_shift=self.feat_cfg.win_shift,
+                rate=self.feat_cfg.rate,
+                n_buckets=int(self.train_opts.get("frame_buckets", 11)),
+                num_workers=int(self.train_opts.get("loader_workers", 8)),
+            )
+
+        steps_per_epoch = self.pipeline.batches_per_epoch() if self.pipeline else 1
+        opt_type = self.train_opts.get("type", "sgd")
+        opt_opts = self.train_opts.get(opt_type, {"init_lr": 0.01})
+        self.schedule = multistep_schedule(
+            float(opt_opts.get("init_lr", 0.01)),
+            self.train_opts.get("lr_decay_step", [15, 25]),
+            float(self.train_opts.get("lr_decay", 0.1)),
+            max(steps_per_epoch, 1),
+        )
+        finetune = self.train_opts.get("train_type") == "finetune"
+        mask = {"model": not finetune, "criterion": True} if finetune else None
+        self.tx = build_optimizer(
+            opt_type,
+            self.schedule,
+            momentum=float(opt_opts.get("momentum", 0.9)),
+            weight_decay=float(opt_opts.get("weight_decay", 0.0)),
+            trainable_mask=mask,
+        )
+
+        self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
+        self.exp_dir = os.path.join(exp_root, self.log_time)
+        self.current_epoch = 0
+        self.state: TrainState | None = None
+        self._embed_fns: dict[Any, Any] = {}
+
+        resume = self.train_opts.get("resume")
+        if resume and os.path.exists(str(resume)):
+            if finetune:
+                self.load_finetune(str(resume))
+            else:
+                self.load(str(resume))
+
+    # ------------------------------------------------------------------
+    # state init
+    # ------------------------------------------------------------------
+    def _init_state(self, example_frames: int = 200, seed: int = 0) -> TrainState:
+        dim = F.feature_dim(self.feat_cfg)
+        x = jnp.zeros((2, example_frames, dim), jnp.float32)
+        mvars = self.model.init(jax.random.PRNGKey(seed), x)
+        emb = self.model.apply(mvars, x)
+        hvars = self.criterion.init(
+            jax.random.PRNGKey(seed + 1), emb, jnp.zeros((2,), jnp.int32)
+        )
+        params = {"model": mvars["params"], "criterion": hvars["params"]}
+        batch_stats = {"model": mvars["batch_stats"]}
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=0)
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def ensure_state(self) -> TrainState:
+        if self.state is None:
+            self.state = self._init_state()
+        return self.state
+
+    # ------------------------------------------------------------------
+    # train
+    # ------------------------------------------------------------------
+    def _criterion_apply(self, params, emb, labels, margin):
+        if isinstance(self.criterion, (LMCL, AAMSoftmax)):
+            return self.criterion.apply({"params": params}, emb, labels, margin=margin)
+        return self.criterion.apply({"params": params}, emb, labels)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, pcm, labels, margin):
+        feats = F.extract_features(pcm, self.feat_cfg)
+
+        def loss_fn(params):
+            emb, updates = self.model.apply(
+                {"params": params["model"], "batch_stats": state.batch_stats["model"]},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, logits = self._criterion_apply(params["criterion"], emb, labels, margin)
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats={"model": new_stats},
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    def _margin_for_epoch(self, epoch: int) -> float:
+        """Margin schedule ≙ ``_adjust_margin`` (``train_audio.py:141-145``)."""
+        return self.init_margin if epoch <= 5 else self.end_margin
+
+    def train(self, epochs: int | None = None) -> TrainState:
+        if self.pipeline is None:
+            raise RuntimeError("no train manifest configured")
+        state = self.ensure_state()
+        os.makedirs(self.exp_dir, exist_ok=True)
+        logger = StepLogger(self.exp_dir, print_every=int(self.train_opts.get("log_every", 20)))
+        guard = NanGuard()
+        epochs = epochs if epochs is not None else self.epochs
+        in_shard = data_sharding(self.mesh, ndim=2)
+        lab_shard = data_sharding(self.mesh, ndim=1)
+        step = int(state.step)
+        for epoch in range(self.current_epoch + 1, epochs + 1):
+            self.current_epoch = epoch
+            margin = jnp.float32(self._margin_for_epoch(epoch))
+            for batch in self.pipeline.epoch(epoch):
+                pcm = jax.device_put(batch["pcm"], in_shard)
+                labels = jax.device_put(batch["labels"], lab_shard)
+                state, metrics = self._train_step(state, pcm, labels, margin)
+                step += 1
+                loss = float(metrics["loss"])
+                guard.check(loss)
+                logger.log(
+                    step,
+                    examples=len(batch["labels"]),
+                    loss=loss,
+                    acc=float(metrics["acc"]),
+                    lr=float(self.schedule(step)),
+                    epoch=epoch,
+                    n_frames=batch["n_frames"],
+                )
+            self.state = state
+            self.save(epoch)
+        logger.close()
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------
+    # checkpointing (layout ≙ exp/<log_time>/net_<epoch>)
+    # ------------------------------------------------------------------
+    def _tree(self, state: TrainState, epoch: int):
+        return {
+            "epoch": epoch,
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+        }
+
+    def save(self, epoch: int | None = None) -> None:
+        state = self.ensure_state()
+        epoch = epoch if epoch is not None else self.current_epoch
+        ckpt.save_checkpoint(self.exp_dir, epoch, self._tree(state, epoch))
+
+    def _restore_weights(self, tree) -> None:
+        state = self.ensure_state()
+        params = jax.device_put(tree["params"], replicated_sharding(self.mesh))
+        stats = jax.device_put(tree["batch_stats"], replicated_sharding(self.mesh))
+        self.state = TrainState(
+            params=params,
+            batch_stats=stats,
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+
+    def load(self, path_or_tag: str) -> None:
+        """Resume weights + epoch (not the optimizer — parity with
+        ``train_audio.py:266-274``)."""
+        exp_dir, tag = os.path.split(path_or_tag.rstrip("/"))
+        tree = ckpt.load_checkpoint(exp_dir or self.exp_dir, tag)
+        self._restore_weights(tree)
+        self.current_epoch = int(tree.get("epoch", 0))
+        self.exp_dir = exp_dir or self.exp_dir
+        self.log_time = os.path.basename(self.exp_dir)
+
+    def load_finetune(self, path_or_tag: str) -> None:
+        """Load weights, keep epoch at 0; the optimizer mask (set from
+        ``train_type: finetune``) freezes the backbone like
+        ``train_audio.py:276-296``."""
+        exp_dir, tag = os.path.split(path_or_tag.rstrip("/"))
+        tree = ckpt.load_checkpoint(exp_dir or self.exp_dir, tag)
+        self._restore_weights(tree)
+
+    def model_average(self, avg_num: int = 4) -> None:
+        """Average the last N epoch checkpoints into ``net_avg`` and load it
+        (≙ ``train_audio.py:216-232``)."""
+        epochs = [self.current_epoch - i for i in range(avg_num)]
+        epochs = [e for e in epochs if e >= 1]
+        tree = ckpt.average_checkpoints(self.exp_dir, epochs)
+        self._restore_weights(tree)
+
+    # ------------------------------------------------------------------
+    # embedding extraction + scoring
+    # ------------------------------------------------------------------
+    def _embed_fn(self):
+        @jax.jit
+        def embed(params, batch_stats, pcm, feat_lengths):
+            feats = F.extract_features(pcm, self.eval_feat_cfg)
+            if self.feat_cfg.normalize:
+                feats = masked_cmvn(feats, feat_lengths)
+            if self.feat_cfg.delta:
+                feats = F.add_deltas(feats, order=2)
+            xv, x_a = self.model.apply(
+                {"params": params["model"], "batch_stats": batch_stats["model"]},
+                feats,
+                lengths=feat_lengths,
+                method=self.model.extract_embedding,
+            )
+            if self.loss_name == "CrossEntropy":
+                # CE systems embed with the fc1 pre-activation (train_audio.py:316-317)
+                return x_a
+            # margin systems embed with normalized fc2 (train_audio.py:318-320)
+            return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
+
+        return embed
+
+    def extract_embeddings(self, utterances: EvalUtteranceSet) -> EmbeddingStore:
+        state = self.ensure_state()
+        if "embed" not in self._embed_fns:
+            self._embed_fns["embed"] = self._embed_fn()
+        embed = self._embed_fns["embed"]
+        store = EmbeddingStore()
+        in_shard = data_sharding(self.mesh, ndim=2)
+        for batch in utterances.batches():
+            pcm, lengths, names = batch["pcm"], batch["feat_lengths"], batch["names"]
+            pad = -len(names) % self.n_devices
+            if pad:
+                pcm = np.concatenate([pcm, np.zeros((pad,) + pcm.shape[1:], pcm.dtype)])
+                lengths = np.concatenate([lengths, np.ones((pad,), lengths.dtype)])
+            out = np.asarray(
+                embed(
+                    state.params,
+                    state.batch_stats,
+                    jax.device_put(pcm, in_shard),
+                    jax.device_put(lengths, data_sharding(self.mesh, ndim=1)),
+                )
+            )
+            for i, name in enumerate(names):
+                store[name] = out[i]
+        return store
+
+    def evaluate(self, trial_path: str, store: EmbeddingStore) -> tuple[float, float]:
+        return cosine_eer(TrialList.load(trial_path), store)

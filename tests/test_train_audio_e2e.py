@@ -1,0 +1,151 @@
+"""End-to-end tiny-run: synthetic wav corpus → train → extract → EER.
+
+This is the audio 'minimum slice' exit criterion of SURVEY.md §7.3: train an
+audio model on GRID-style data, extract embeddings, score a trial list, get
+an EER — plus loss-decrease and checkpoint-averaging checks. Runs on the
+8-virtual-device CPU mesh, exercising the same sharded code path as TPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import make_mesh
+from deeplip_tpu.data.audio_pipeline import EvalUtterance, EvalUtteranceSet
+from deeplip_tpu.data.synthetic import make_audio_corpus, make_trial_list
+from deeplip_tpu.eval.scoring import TrialList
+from deeplip_tpu.train.audio import AudioTrainer
+
+TINY_MODEL = {
+    "arch": "tdnn",
+    "tdnn": {
+        "input_dim": 24,
+        "hidden_dim": [48, 48, 48, 48, 96],
+        "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [-3, 0, 3], [0], [0]],
+        "tdnn_layers": 5,
+        "embedding_dim": 32,
+        "pooling": "statistic",
+        "attention_hidden_size": 16,
+        "bn_first": True,
+    },
+}
+
+
+def _config(tmp_path, corpus_root):
+    manifest = os.path.join(corpus_root, "manifest.csv")
+    return Config(
+        {
+            "data": {
+                "frames": [60, 100],
+                "train_manifest": manifest,
+                "python_data_config": {
+                    "rate": 16000,
+                    "feat_type": "mfcc",
+                    "mfcc": {
+                        "n_fft": 512,
+                        "num_bin": 26,
+                        "num_cep": 24,
+                        "energy": True,
+                        "normalize": True,
+                        "delta": False,
+                        "win_len": 0.025,
+                        "win_shift": 0.01,
+                    },
+                },
+            },
+            "model": TINY_MODEL,
+            "train": {
+                "type": "sgd",
+                "bs": 8,
+                "lr_decay": 0.1,
+                "lr_decay_step": [100],
+                "epoch": 2,
+                "loss": "LMCL",
+                "scale": 30,
+                "margin": [0.1, 0.2],
+                "sgd": {"init_lr": 0.05, "weight_decay": 1e-5, "momentum": 0.9},
+                "frame_buckets": 3,
+                "loader_workers": 2,
+                "log_every": 0,
+            },
+            "test": {},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    make_audio_corpus(root, n_spk=4, utts_per_spk=6, duration=3.0)
+    from deeplip_tpu.data.manifest import SpeakerManifest
+
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    trial_path = os.path.join(root, "trials.txt")
+    make_trial_list(trial_path, manifest, n_trials=150)
+    return root, manifest, trial_path
+
+
+def test_audio_end_to_end(corpus, tmp_path):
+    root, manifest, trial_path = corpus
+    mesh = make_mesh()
+    trainer = AudioTrainer(
+        _config(tmp_path, root), mesh=mesh, exp_root=str(tmp_path / "exp"), log_time="t0"
+    )
+    assert trainer.n_spk == 4
+
+    # --- train 2 epochs; loss must decrease on average -----------------
+    state = trainer.train()
+    import json
+
+    metrics_path = os.path.join(trainer.exp_dir, "train_metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics_path)]
+    losses = [r["loss"] for r in records]
+    assert len(losses) >= 8
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+    # --- checkpoints exist; averaging works ----------------------------
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_1"))
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_2"))
+    trainer.model_average(avg_num=2)
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_avg"))
+
+    # --- extract + score ------------------------------------------------
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ]
+    test_set = EvalUtteranceSet(utts, batch_size=8, bucket_frames=50, num_workers=2)
+    store = trainer.extract_embeddings(test_set)
+    assert len(store) == len(utts)
+    eer, thr = trainer.evaluate(trial_path, store)
+    # speakers are strongly separable by construction
+    assert eer < 0.25, f"EER too high: {eer}"
+
+    # --- resume restores epoch ------------------------------------------
+    trainer2 = AudioTrainer(
+        _config(tmp_path, root), mesh=mesh, exp_root=str(tmp_path / "exp"), log_time="t0"
+    )
+    trainer2.load(os.path.join(trainer.exp_dir, "net_2"))
+    assert trainer2.current_epoch == 2
+
+
+def test_padded_extraction_matches_single(corpus, tmp_path):
+    """Bucketed/padded batched extraction == per-utterance extraction."""
+    root, manifest, _ = corpus
+    trainer = AudioTrainer(
+        _config(tmp_path, root), mesh=make_mesh(), exp_root=str(tmp_path / "exp2"), log_time="t1"
+    )
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ][:4]
+    batched = trainer.extract_embeddings(
+        EvalUtteranceSet(utts, batch_size=4, bucket_frames=100, num_workers=1)
+    )
+    single = trainer.extract_embeddings(
+        EvalUtteranceSet(utts, batch_size=1, bucket_frames=1, num_workers=1)
+    )
+    for u in utts:
+        np.testing.assert_allclose(batched[u.name], single[u.name], atol=5e-4)
