@@ -1,0 +1,109 @@
+"""End-to-end verification-sweep benchmark on the TPU (driver contract).
+
+Workload: the LOMGRID trial profile from BASELINE.md — 3,541 unique
+utterances of 3 s each through the flagship E-TDNN system (MFCC-24 on
+device → x-vector extraction → L2-norm), then 20,000 trial cosines scored
+as one batched gather+dot: exactly the deeplip_tpu production path.
+
+The synthetic PCM is generated on device (the DSP/model work is identical
+to real speech); production overlaps wav IO with compute via
+ThreadedPrefetcher, and this rig's host↔device relay has multi-second
+first-transfer stalls that would otherwise dominate the measurement. Only
+the final 20k scores leave the device.
+
+Prints ONE JSON line:
+  {"metric": "verification_trials_per_sec", "value": ..., "unit":
+   "trials/sec", "vs_baseline": ...}
+
+``vs_baseline`` divides by the reference-equivalent CPU PyTorch pipeline
+measured on this host by ``benchmarks/reference_cpu_baseline.py``
+(per-utterance batch-1 extraction + per-trial sklearn scoring loop):
+165.8 trials/sec (measured 2026-08-16; re-run that script to refresh).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CPU_TRIALS_PER_SEC = 165.8  # benchmarks/reference_cpu_baseline.py
+N_UNIQUE_UTTS = 3541
+N_TRIALS = 20000
+UTT_SECONDS = 3.0
+RATE = 16000
+BATCH = 128
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
+    from deeplip_tpu.models.tdnn import SpeakerEmbNet
+    from deeplip_tpu.ops import features as F
+    from deeplip_tpu.ops.framing import num_frames
+    from deeplip_tpu.train.audio import masked_cmvn
+
+    feat_cfg = F.FeatureConfig.from_config(AUDIO_DATA_OPTS)
+    raw_cfg = dataclasses.replace(feat_cfg, normalize=False)
+    model = SpeakerEmbNet.from_config(ETDNN_MODEL_OPTS)
+
+    n_samples = int(UTT_SECONDS * RATE)
+    t_frames = num_frames(n_samples, feat_cfg.frame_len, feat_cfg.frame_step)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, t_frames, 24), jnp.float32)
+    )
+    lengths = jnp.full((BATCH,), t_frames, jnp.int32)
+
+    @jax.jit
+    def embed_batch(variables, key):
+        pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
+        feats = F.extract_features(pcm, raw_cfg)
+        feats = masked_cmvn(feats, lengths)
+        xv, _ = model.apply(
+            variables, feats, lengths=lengths, method=model.extract_embedding
+        )
+        return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
+
+    @jax.jit
+    def score(embs, pairs):
+        e = jnp.concatenate(embs)[:N_UNIQUE_UTTS]
+        a = jnp.take(e, pairs[:, 0], axis=0)
+        b = jnp.take(e, pairs[:, 1], axis=0)
+        return jnp.sum(a * b, axis=-1)
+
+    n_batches = -(-N_UNIQUE_UTTS // BATCH)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_batches)
+    rng = np.random.default_rng(0)
+    pairs = jnp.asarray(rng.integers(0, N_UNIQUE_UTTS, (N_TRIALS, 2)), jnp.int32)
+
+    # warm-up: compile both kernels and absorb the relay's first-transfer stall
+    warm = [embed_batch(variables, keys[0]) for _ in range(2)]
+    _ = np.asarray(score(warm + [warm[0]] * (n_batches - 2), pairs)[:8])
+
+    t0 = time.perf_counter()
+    embs = [embed_batch(variables, k) for k in keys]
+    scores = score(embs, pairs)
+    scores.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    scores_host = np.asarray(scores)
+    assert scores_host.shape == (N_TRIALS,) and np.all(np.isfinite(scores_host))
+
+    trials_per_sec = N_TRIALS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "verification_trials_per_sec",
+                "value": round(trials_per_sec, 1),
+                "unit": "trials/sec",
+                "vs_baseline": round(trials_per_sec / REFERENCE_CPU_TRIALS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
