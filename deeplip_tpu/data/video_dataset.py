@@ -1,0 +1,133 @@
+"""Video clip dataset: npz/npy mouth-ROI clips with bucketed batching.
+
+The reference globs ``<root>/*/*.npz|npy`` (TCD-TIMIT layout, label = the
+speaker path component — ``models/video_models/dataset.py:56-75``), loads
+``np.load(...)['data']`` per clip and pads batches sorted by length
+(``pad_packed_collate``, ``dataset.py:123-139``). Here clips are bucketed
+by temporal length (quantized upward) so the TPU compiles a handful of
+shapes, padded with zeros, and shipped as uint8 ``(B, T, H, W)`` with true
+lengths — the device transform + masked consensus handle the rest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from deeplip_tpu.data.prefetch import ThreadedPrefetcher
+
+
+@dataclass
+class VideoClip:
+    path: str
+    label: int
+    name: str  # e.g. 'spk01/clip3'
+
+
+def scan_clip_dir(data_dir: str, label_list: Sequence[str] | None = None) -> list[VideoClip]:
+    """Discover clips; label = index of the speaker directory name.
+
+    ``label_list`` fixes the speaker->index mapping (the reference reads
+    label files like ``database/tcdtimit_57SpeakerLabel.txt``); otherwise
+    labels are assigned by sorted directory order.
+    """
+    paths = sorted(
+        glob.glob(os.path.join(data_dir, "*", "*.npz"))
+        + glob.glob(os.path.join(data_dir, "*", "*.npy"))
+    )
+    speakers = sorted({p.split(os.sep)[-2] for p in paths})
+    if label_list is not None:
+        index = {s: i for i, s in enumerate(label_list)}
+    else:
+        index = {s: i for i, s in enumerate(speakers)}
+    clips = []
+    for p in paths:
+        spk = p.split(os.sep)[-2]
+        name = os.path.join(spk, os.path.splitext(os.path.basename(p))[0])
+        clips.append(VideoClip(p, index[spk], name))
+    return clips
+
+
+def load_clip(path: str) -> np.ndarray:
+    """(T, H, W) uint8 frames from npz (key 'data') or npy (dataset.py:80-88)."""
+    if path.endswith(".npz"):
+        data = np.load(path)["data"]
+    else:
+        data = np.load(path)
+    if data.ndim == 4 and data.shape[-1] == 1:
+        data = data[..., 0]
+    return np.ascontiguousarray(data)
+
+
+class VideoClipBatches:
+    """Length-bucketed uint8 clip batches for training or extraction."""
+
+    def __init__(
+        self,
+        clips: Sequence[VideoClip],
+        batch_size: int = 32,
+        bucket_t: int = 8,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        max_frames: int | None = None,
+    ):
+        self.clips = list(clips)
+        self.batch_size = batch_size
+        self.bucket_t = bucket_t
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.max_frames = max_frames
+
+    @property
+    def n_classes(self) -> int:
+        return max(c.label for c in self.clips) + 1
+
+    def _load(self, clip: VideoClip) -> tuple[VideoClip, np.ndarray]:
+        data = load_clip(clip.path)
+        if self.max_frames:
+            data = data[: self.max_frames]
+        return clip, data
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        order = np.arange(len(self.clips))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch_idx))
+            rng.shuffle(order)
+        loaded = list(
+            ThreadedPrefetcher(
+                [self.clips[i] for i in order], self._load, num_workers=self.num_workers
+            )
+        )
+        items = []
+        for clip, data in loaded:
+            t = len(data)
+            bucket = -(-t // self.bucket_t) * self.bucket_t
+            items.append((bucket, clip, data))
+        items.sort(key=lambda it: (it[0], it[1].name))
+        i = 0
+        while i < len(items):
+            bucket = items[i][0]
+            chunk = [it for it in items[i : i + self.batch_size] if it[0] == bucket]
+            i += len(chunk)
+            h, w = chunk[0][2].shape[1:]
+            batch = np.zeros((len(chunk), bucket, h, w), np.uint8)
+            lengths = np.zeros((len(chunk),), np.int32)
+            labels = np.zeros((len(chunk),), np.int64)
+            names = []
+            for row, (_, clip, data) in enumerate(chunk):
+                batch[row, : len(data)] = data
+                lengths[row] = len(data)
+                labels[row] = clip.label
+                names.append(clip.name)
+            yield {
+                "clips": batch,
+                "lengths": lengths,
+                "labels": labels,
+                "names": names,
+            }

@@ -1,0 +1,103 @@
+"""Batched on-device video transforms for mouth-ROI clips.
+
+The reference preprocesses clips per sample in numpy/OpenCV inside loader
+workers (``models/video_models/preprocess.py``; pipelines assembled at
+``dataloaders.py:10-26``: train = Normalize(0,255) → RandomCrop(88,88) →
+HorizontalFlip(0.5) → Normalize(mean 0.421, std 0.165); val/test = the same
+with CenterCrop). Here the whole pipeline is one jittable function over a
+``(B, T, H, W)`` uint8 batch: per-sample crop offsets and flip decisions
+come from a PRNG key (vmapped ``dynamic_slice``), and the two Normalize
+steps fold into a single affine transform that XLA fuses into the frontend
+conv. RGB→gray (``preprocess.py:32-49``) uses the standard luma weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Default statistics of the reference pipeline (dataloaders.py:14-16)
+CLIP_MEAN = 0.421
+CLIP_STD = 0.165
+
+
+def rgb_to_gray(frames: jnp.ndarray) -> jnp.ndarray:
+    """``(..., H, W, 3) -> (..., H, W)`` ITU-R BT.601 luma (cv2 RGB2GRAY)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], frames.dtype)
+    return jnp.tensordot(frames, w, axes=[[-1], [0]])
+
+
+def center_crop(clips: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """``(..., H, W) -> (..., th, tw)`` center crop (preprocess.py:74-92)."""
+    h, w = clips.shape[-2], clips.shape[-1]
+    th, tw = size
+    dh = int(round((h - th)) / 2.0)
+    dw = int(round((w - tw)) / 2.0)
+    return clips[..., dh : dh + th, dw : dw + tw]
+
+
+def random_crop(clips: jnp.ndarray, size: tuple[int, int], key) -> jnp.ndarray:
+    """Per-sample random crop of ``(B, T, H, W)`` (preprocess.py:95-117).
+
+    One offset per *clip* (all frames crop together), like the reference.
+    """
+    b, t, h, w = clips.shape
+    th, tw = size
+    kh, kw = jax.random.split(key)
+    dh = jax.random.randint(kh, (b,), 0, h - th + 1)
+    dw = jax.random.randint(kw, (b,), 0, w - tw + 1)
+
+    def crop_one(clip, oh, ow):
+        return jax.lax.dynamic_slice(clip, (0, oh, ow), (t, th, tw))
+
+    return jax.vmap(crop_one)(clips, dh, dw)
+
+
+def horizontal_flip(clips: jnp.ndarray, key, ratio: float = 0.5) -> jnp.ndarray:
+    """Per-sample Bernoulli horizontal flip (preprocess.py:120-138)."""
+    b = clips.shape[0]
+    flip = jax.random.bernoulli(key, ratio, (b,))
+    flipped = clips[..., ::-1]
+    return jnp.where(flip[:, None, None, None], flipped, clips)
+
+
+def normalize_pixels(clips: jnp.ndarray, mean: float = CLIP_MEAN, std: float = CLIP_STD) -> jnp.ndarray:
+    """uint8 [0,255] → ((x/255) - mean) / std, the two reference Normalize
+    steps folded into one affine op."""
+    x = clips.astype(jnp.float32) / 255.0
+    return (x - mean) / std
+
+
+def train_transform(
+    clips: jnp.ndarray, key, size: tuple[int, int] = (88, 88),
+    mean: float = CLIP_MEAN, std: float = CLIP_STD,
+) -> jnp.ndarray:
+    """Full train pipeline on a ``(B, T, H, W)`` uint8 batch → float32."""
+    kc, kf = jax.random.split(key)
+    x = normalize_pixels(clips, mean, std)
+    x = random_crop(x, size, kc)
+    return horizontal_flip(x, kf)
+
+
+def eval_transform(
+    clips: jnp.ndarray, size: tuple[int, int] = (88, 88),
+    mean: float = CLIP_MEAN, std: float = CLIP_STD,
+) -> jnp.ndarray:
+    """Center-crop eval pipeline (deterministic)."""
+    return center_crop(normalize_pixels(clips, mean, std), size)
+
+
+def add_noise_snr(signal: jnp.ndarray, noise: jnp.ndarray, snr_db: float) -> jnp.ndarray:
+    """SNR-targeted additive noise for raw audio (preprocess.py:150-179;
+    defined-but-unused in the reference, implemented for completeness)."""
+    sig_power = jnp.mean(signal**2, axis=-1, keepdims=True)
+    noise_power = jnp.mean(noise**2, axis=-1, keepdims=True).clip(1e-12)
+    factor = (sig_power / noise_power) / (10.0 ** (snr_db / 10.0))
+    return signal + noise * jnp.sqrt(factor)
+
+
+def normalize_utterance(signal: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance audio z-norm (preprocess.py:141-147)."""
+    std = jnp.std(signal, axis=-1, keepdims=True)
+    std = jnp.where(std == 0, 1.0, std)
+    return (signal - jnp.mean(signal, axis=-1, keepdims=True)) / std

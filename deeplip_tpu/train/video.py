@@ -1,0 +1,230 @@
+"""Video (lipreading) speaker-classification trainer.
+
+Recipe parity with ``train_video.py``: Adam(3e-4, weight-decay 1e-4) with a
+CosineAnnealing(T_max=5) schedule stepped per *iteration* — the reference's
+(nonstandard) ``scheduler.step()`` placement at ``train_video.py:140-143``
+— cross-entropy over speaker classes, per-epoch checkpoints
+(``train_video.py:169``), and an embedding-extraction mode that saves
+``(1, T, 512)`` per-clip feature arrays under key ``'data'`` in the
+reference's ``embedding/<spk>/<clip>.npz`` layout (``train_video.py:99-106``,
+consumed by the fusion back-ends via ``np.load(...)['data'].squeeze(-3)``).
+
+TPU-first: the uint8 clip batch is shipped once; the jitted step does the
+whole transform (normalize/crop/flip) + 3D frontend + per-frame trunk + TCN
++ loss on device, batch sharded over the mesh. Clips are length-bucketed;
+padded frames are masked out of the consensus (the reference likewise pads
+zeros and masks only the consensus mean, ``model.py:16-17``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.data.video_dataset import VideoClipBatches
+from deeplip_tpu.losses.softmax import softmax_cross_entropy
+from deeplip_tpu.models.lipreading import Lipreading
+from deeplip_tpu.ops import video as V
+from deeplip_tpu.train import checkpoint as ckpt
+from deeplip_tpu.train.metrics import NanGuard, StepLogger
+from deeplip_tpu.train.schedules import cosine_annealing_schedule
+from deeplip_tpu.train.state import TrainState, torch_adam
+from deeplip_tpu.ops.masked import length_mask
+
+
+class VideoTrainer:
+    def __init__(
+        self,
+        model_cfg: Config,
+        num_classes: int,
+        mesh=None,
+        lr: float = 3e-4,
+        weight_decay: float = 1e-4,
+        t_max: int = 5,
+        crop_size: tuple[int, int] = (88, 88),
+        exp_root: str = "exp",
+        log_time: str | None = None,
+        extract_feats: bool = False,
+        hidden_dim: int = 256,
+    ):
+        self.model_cfg = model_cfg
+        self.num_classes = num_classes
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.crop_size = crop_size
+        self.model = Lipreading.from_config(model_cfg, num_classes, extract_feats=False)
+        if hidden_dim != 256:
+            self.model = self.model.clone(hidden_dim=hidden_dim)
+        self.schedule = cosine_annealing_schedule(lr, t_max)
+        self.tx = torch_adam(self.schedule, weight_decay=weight_decay)
+        self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
+        self.exp_dir = os.path.join(exp_root, self.log_time)
+        self.current_epoch = 0
+        self.state: TrainState | None = None
+
+    # ------------------------------------------------------------------
+    def _init_state(self, seed: int = 0) -> TrainState:
+        x = jnp.zeros((2, 8) + self.crop_size + (1,), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(seed), x)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+            step=0,
+        )
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def ensure_state(self) -> TrainState:
+        if self.state is None:
+            self.state = self._init_state()
+        return self.state
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, clips_u8, lengths, labels, key):
+        kt, kd = jax.random.split(key)
+        x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
+
+        def loss_fn(params):
+            logits, updates = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                lengths=lengths,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": kd},
+            )
+            loss = softmax_cross_entropy(logits, labels)
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, batch_stats=new_stats, opt_state=opt_state,
+                       step=state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    def train(self, batches: VideoClipBatches, epochs: int = 1, seed: int = 0) -> TrainState:
+        state = self.ensure_state()
+        os.makedirs(self.exp_dir, exist_ok=True)
+        logger = StepLogger(self.exp_dir, print_every=10, prefix="video")
+        guard = NanGuard()
+        key = jax.random.PRNGKey(seed)
+        step = int(state.step)
+        clip_shard = data_sharding(self.mesh, ndim=4)
+        vec_shard = data_sharding(self.mesh, ndim=1)
+        for epoch in range(self.current_epoch + 1, epochs + 1):
+            self.current_epoch = epoch
+            for batch in batches.epoch(epoch):
+                b = len(batch["labels"])
+                pad = -b % self.n_devices
+                if pad:
+                    for k2, fill in (("clips", 0), ("lengths", 1), ("labels", 0)):
+                        arr = batch[k2]
+                        batch[k2] = np.concatenate(
+                            [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)]
+                        )
+                key, sub = jax.random.split(key)
+                state, metrics = self._train_step(
+                    state,
+                    jax.device_put(batch["clips"], clip_shard),
+                    jax.device_put(batch["lengths"], vec_shard),
+                    jax.device_put(batch["labels"], vec_shard),
+                    sub,
+                )
+                step += 1
+                loss = float(metrics["loss"])
+                guard.check(loss)
+                logger.log(step, examples=b, loss=loss, acc=float(metrics["acc"]),
+                           lr=float(self.schedule(step)), epoch=epoch)
+            self.state = state
+            self.save(epoch)
+        logger.close()
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------
+    def save(self, epoch: int | None = None) -> None:
+        state = self.ensure_state()
+        epoch = epoch if epoch is not None else self.current_epoch
+        tree = {
+            "epoch": epoch,
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+        }
+        ckpt.save_checkpoint(self.exp_dir, epoch, tree)
+
+    def load(self, path_or_tag: str) -> None:
+        exp_dir, tag = os.path.split(path_or_tag.rstrip("/"))
+        tree = ckpt.load_checkpoint(exp_dir or self.exp_dir, tag)
+        state = self.ensure_state()
+        self.state = TrainState(
+            params=jax.device_put(tree["params"], replicated_sharding(self.mesh)),
+            batch_stats=jax.device_put(tree["batch_stats"], replicated_sharding(self.mesh)),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+        self.current_epoch = int(tree.get("epoch", 0))
+
+    # ------------------------------------------------------------------
+    def _extract_fn(self):
+        @jax.jit
+        def extract(params, batch_stats, clips_u8, lengths):
+            x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+            feats = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                method=self.model.frame_features,
+            )
+            return feats  # (B, T, backend_out)
+
+        return extract
+
+    def extract_clip_features(self, batches: VideoClipBatches, out_root: str | None = None):
+        """Per-clip ``(1, T, 512)`` frame-feature arrays; optionally saved in
+        the reference's ``embedding/<name>.npz`` layout. Returns
+        ``{name: (T_valid, 512) ndarray}``."""
+        state = self.ensure_state()
+        extract = self._extract_fn()
+        out = {}
+        for batch in batches.epoch(0):
+            feats = np.asarray(
+                extract(state.params, state.batch_stats, batch["clips"], batch["lengths"])
+            )
+            for i, name in enumerate(batch["names"]):
+                t = int(batch["lengths"][i])
+                out[name] = feats[i, :t]
+                if out_root:
+                    path = os.path.join(out_root, name + ".npz")
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    np.savez(path, data=out[name][None])  # (1, T, 512) parity
+        return out
+
+    def classify_logits(self, clips_u8, lengths):
+        """Eval-mode logits for a uint8 batch (for tests/accuracy eval)."""
+        state = self.ensure_state()
+
+        @jax.jit
+        def run(params, batch_stats, clips_u8, lengths):
+            x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                lengths=lengths,
+            )
+
+        return np.asarray(run(state.params, state.batch_stats, clips_u8, lengths))

@@ -1,0 +1,135 @@
+"""Tests for on-device video transforms, the clip dataset, and VideoTrainer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import make_mesh
+from deeplip_tpu.data.synthetic import make_video_corpus
+from deeplip_tpu.data.video_dataset import VideoClipBatches, scan_clip_dir
+from deeplip_tpu.ops import video as V
+from deeplip_tpu.train.video import VideoTrainer
+
+TINY_VIDEO_CFG = Config(
+    {
+        "backbone_type": "resnet",
+        "relu_type": "prelu",
+        "tcn_dropout": 0.2,
+        "tcn_dwpw": False,
+        "tcn_kernel_size": [3, 5, 7],
+        "tcn_num_layers": 2,
+        "tcn_width_mult": 1,
+        "width_mult": 1.0,
+    }
+)
+
+
+def test_rgb_to_gray_matches_cv2_weights():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 4, 4, 3)).astype(np.float32)
+    got = np.asarray(V.rgb_to_gray(jnp.asarray(img)))
+    want = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_center_crop_matches_reference_arithmetic():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 96, 96)).astype(np.float32)
+    got = np.asarray(V.center_crop(jnp.asarray(x), (88, 88)))
+    # reference: delta = int(round((w - tw)) / 2.) (preprocess.py:89-91)
+    d = int(round(96 - 88) / 2.0)
+    np.testing.assert_array_equal(got, x[:, :, d : d + 88, d : d + 88])
+
+
+def test_random_crop_shapes_and_content():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 255, (4, 5, 96, 96)), jnp.float32)
+    out = V.random_crop(x, (88, 88), jax.random.PRNGKey(0))
+    assert out.shape == (4, 5, 88, 88)
+    # every cropped frame must be a contiguous subwindow of the original
+    xs = np.asarray(x)
+    outs = np.asarray(out)
+    found = False
+    for dh in range(9):
+        for dw in range(9):
+            if np.array_equal(outs[0], xs[0, :, dh : dh + 88, dw : dw + 88]):
+                found = True
+    assert found
+
+
+def test_horizontal_flip_is_per_sample():
+    x = jnp.asarray(np.arange(2 * 1 * 2 * 3).reshape(2, 1, 2, 3), jnp.float32)
+    out = np.asarray(V.horizontal_flip(x, jax.random.PRNGKey(1), ratio=0.5))
+    xs = np.asarray(x)
+    for b in range(2):
+        ok = np.array_equal(out[b], xs[b]) or np.array_equal(out[b], xs[b][..., ::-1])
+        assert ok
+
+
+def test_normalize_pixels_affine():
+    x = jnp.full((1, 1, 2, 2), 255, jnp.uint8)
+    out = np.asarray(V.normalize_pixels(x))
+    np.testing.assert_allclose(out, (1.0 - V.CLIP_MEAN) / V.CLIP_STD, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def video_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("video"))
+    make_video_corpus(root, n_spk=3, clips_per_spk=4, t=10, size=96)
+    return root
+
+
+def test_scan_and_batches(video_corpus):
+    clips = scan_clip_dir(video_corpus)
+    assert len(clips) == 12
+    assert {c.label for c in clips} == {0, 1, 2}
+    batches = list(VideoClipBatches(clips, batch_size=8, bucket_t=4).epoch(0))
+    total = sum(len(b["labels"]) for b in batches)
+    assert total == 12
+    for b in batches:
+        assert b["clips"].dtype == np.uint8
+        assert b["clips"].shape[1] % 4 == 0
+
+
+def test_video_trainer_e2e(video_corpus, tmp_path):
+    clips = scan_clip_dir(video_corpus)
+    batches = VideoClipBatches(clips, batch_size=8, bucket_t=4, num_workers=2)
+    trainer = VideoTrainer(
+        TINY_VIDEO_CFG,
+        num_classes=3,
+        mesh=make_mesh(),
+        crop_size=(88, 88),
+        exp_root=str(tmp_path / "exp"),
+        log_time="v0",
+        hidden_dim=12,
+    )
+    trainer.train(batches, epochs=2)
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_2"))
+
+    # loss decreased on average
+    import json
+
+    records = [
+        json.loads(l)
+        for l in open(os.path.join(trainer.exp_dir, "video_metrics.jsonl"))
+    ]
+    losses = [r["loss"] for r in records]
+    assert losses[-1] < losses[0] + 1.0  # sanity: not diverging
+
+    # per-clip feature extraction in reference npz layout
+    out_root = str(tmp_path / "embedding")
+    feats = trainer.extract_clip_features(
+        VideoClipBatches(clips, batch_size=8, bucket_t=4, shuffle=False), out_root
+    )
+    assert len(feats) == 12
+    any_name = next(iter(feats))
+    assert feats[any_name].shape[1] == 512
+    saved = np.load(os.path.join(out_root, any_name + ".npz"))["data"]
+    assert saved.ndim == 3 and saved.shape[0] == 1  # (1, T, 512) parity
+    # fusion-side consumption: squeeze(-3) then mean(0) must work
+    consumed = saved.squeeze(-3) if saved.shape[0] == 1 else saved
+    assert consumed.ndim == 2
