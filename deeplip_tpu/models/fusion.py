@@ -43,6 +43,8 @@ class LowFER(nn.Module):
         uniform = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
         self.U = self.param("U", uniform, (self.input_dims[0], self.k * self.output_dim))
         self.V = self.param("V", uniform, (self.input_dims[1], self.k * self.output_dim))
+        if self.input_dims[0] != self.input_dims[1]:
+            self.gate_proj = nn.Dense(self.input_dims[0], name="gate_proj")
 
     def mfb(self, e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
         """Low-rank bilinear branch: ``(B, o)`` L2-normalized (``LBP.py:38-43``)."""
@@ -56,6 +58,10 @@ class LowFER(nn.Module):
     def __call__(self, e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
         # The reference computes the MFB vector and then overwrites it with
         # the gated concat (LBP.py:48-50); the live output is the latter.
+        # The reference's gate assumes d1 == d2 (both 512); for unequal dims
+        # a linear projection maps the gate input onto d1 (extension).
+        if self.input_dims[0] != self.input_dims[1]:
+            e2 = self.gate_proj(e2)
         gate = jax.nn.sigmoid(e2)
         return jnp.concatenate([e1, gate, gate * e1], axis=-1)
 

@@ -1,0 +1,303 @@
+"""Audio-visual fusion trainer: frozen encoders, trainable fusion head.
+
+Orchestration parity with the reference's fusion ``Trainer``
+(``train_fusion.py:36-315``): frozen audio TDNN + frozen video Lipreading
+(both eval-mode — BN running stats, no dropout — per
+``train_fusion.py:248-252``), a LowFER head and a CrossEntropy criterion as
+the only trainables (``train_fusion.py:120-124``), SGD + MultiStep
+schedule, bad video-audio pairs masked out of the loss
+(``train_fusion.py:276-288``), avg-last-2 checkpoint averaging.
+
+TPU-first difference — batched clips: the reference embeds each clip of
+each batch item separately with a host round-trip per clip
+(``train_fusion.py:267-281``); here the ``(B, G, T, H, W)`` clip tensor is
+folded to ``(B·G, T, H, W)``, embedded in ONE device call, time-mean'd per
+clip and group-mean'd per item with masks — inside the same jitted step as
+the audio encoder, fusion head, and optimizer update.
+
+Test-time extraction reproduces the live path of
+``extract_test_xv_{lomgrid,grid}``: z-norm audio xv ++ z-norm clip-group
+mean video embedding, concatenated (the fusion head is bypassed,
+``train_fusion.py:352-358``); ``use_fusion_head=True`` switches to the
+head's output instead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.losses.softmax import softmax_cross_entropy
+from deeplip_tpu.models.fusion import LowFER
+from deeplip_tpu.models.lipreading import Lipreading
+from deeplip_tpu.models.tdnn import SpeakerEmbNet
+from deeplip_tpu.ops import features as F
+from deeplip_tpu.ops import video as V
+from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.train import checkpoint as ckpt
+from deeplip_tpu.train.audio import masked_cmvn
+from deeplip_tpu.train.metrics import NanGuard, StepLogger
+from deeplip_tpu.train.schedules import multistep_schedule
+from deeplip_tpu.train.state import TrainState, torch_sgd
+
+
+def _znorm(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-vector z-norm over feature dims (``train_fusion.py:233-238``)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    std = jnp.std(x, axis=-1, keepdims=True)
+    return (x - mu) / std
+
+
+class FusionTrainer:
+    def __init__(
+        self,
+        audio_model_opts: Config,
+        video_model_cfg: Config,
+        n_spk: int,
+        audio_data_opts: Config | None = None,
+        mesh=None,
+        lr: float = 0.5,
+        weight_decay: float = 1e-5,
+        momentum: float = 0.9,
+        lr_decay_step=(4, 8),
+        lr_decay: float = 0.1,
+        steps_per_epoch: int = 1,
+        crop_size: tuple[int, int] = (88, 88),
+        video_hidden_dim: int = 256,
+        exp_root: str = "exp",
+        log_time: str | None = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.n_spk = n_spk
+        self.crop_size = crop_size
+        self.feat_cfg = F.FeatureConfig.from_config(audio_data_opts or {})
+        import dataclasses
+
+        self.raw_feat_cfg = dataclasses.replace(self.feat_cfg, normalize=False, delta=False)
+
+        self.audio_model = SpeakerEmbNet.from_config(audio_model_opts)
+        self.video_model = Lipreading.from_config(video_model_cfg, n_spk, extract_feats=True)
+        if video_hidden_dim != 256:
+            self.video_model = self.video_model.clone(hidden_dim=video_hidden_dim)
+        emb_dim = self.audio_model.embedding_dim
+        self.fusion_head = LowFER(
+            input_dims=(emb_dim, self.video_model.backend_out), output_dim=emb_dim
+        )
+
+        self.schedule = multistep_schedule(lr, list(lr_decay_step), lr_decay, steps_per_epoch)
+        self.tx = torch_sgd(self.schedule, momentum=momentum, weight_decay=weight_decay)
+
+        self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
+        self.exp_dir = os.path.join(exp_root, self.log_time)
+        self.current_epoch = 0
+        self.state: TrainState | None = None
+        self._extract_fns: dict = {}
+        # frozen encoder variables, set by init or load_encoders
+        self.audio_vars = None
+        self.video_vars = None
+
+    # ------------------------------------------------------------------
+    def init_encoders(self, seed: int = 0, example_frames: int = 60) -> None:
+        dim = F.feature_dim(self.feat_cfg)
+        self.audio_vars = self.audio_model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, example_frames, dim), jnp.float32)
+        )
+        self.video_vars = self.video_model.init(
+            jax.random.PRNGKey(seed + 1),
+            jnp.zeros((1, 4) + self.crop_size + (1,), jnp.float32),
+        )
+
+    def load_encoders(self, audio_ckpt: str | None, video_ckpt: str | None) -> None:
+        """Load frozen encoder weights from checkpoints saved by the audio /
+        video trainers (≙ ``load_finetune``, ``train_fusion.py:191-215``)."""
+        if self.audio_vars is None:
+            self.init_encoders()
+        if audio_ckpt:
+            exp_dir, tag = os.path.split(audio_ckpt.rstrip("/"))
+            tree = ckpt.load_checkpoint(exp_dir, tag)
+            self.audio_vars = {
+                "params": tree["params"]["model"],
+                "batch_stats": tree["batch_stats"]["model"],
+            }
+        if video_ckpt:
+            exp_dir, tag = os.path.split(video_ckpt.rstrip("/"))
+            tree = ckpt.load_checkpoint(exp_dir, tag)
+            self.video_vars = {
+                "params": tree["params"],
+                "batch_stats": tree["batch_stats"],
+            }
+
+    def _init_state(self, seed: int = 0) -> TrainState:
+        if self.audio_vars is None:
+            self.init_encoders(seed)
+        emb_dim = self.audio_model.embedding_dim
+        e1 = jnp.zeros((2, emb_dim), jnp.float32)
+        e2 = jnp.zeros((2, self.video_model.backend_out), jnp.float32)
+        fvars = self.fusion_head.init(jax.random.PRNGKey(seed + 2), e1, e2)
+        fused = self.fusion_head.apply(fvars, e1, e2)
+        # criterion over the fused vector (CrossEntropy head, train_fusion.py:109-110)
+        self.criterion_dense = nn.Dense(self.n_spk)
+        cvars = self.criterion_dense.init(jax.random.PRNGKey(seed + 3), fused)
+        params = {"fusion": fvars["params"], "criterion": cvars["params"]}
+        state = TrainState(
+            params=params, batch_stats={}, opt_state=self.tx.init(params), step=0
+        )
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def ensure_state(self) -> TrainState:
+        if self.state is None:
+            self.state = self._init_state()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _audio_embed(self, pcm):
+        feats = F.extract_features(pcm, self.feat_cfg)
+        xv, _ = self.audio_model.apply(
+            self.audio_vars, feats, method=self.audio_model.extract_embedding
+        )
+        return xv
+
+    def _video_group_embed(self, clips_u8, clip_lengths, group_sizes):
+        """(B, G, T, H, W) uint8 -> (B, D) masked clip-group mean embedding."""
+        b, g, t = clips_u8.shape[:3]
+        x = V.eval_transform(clips_u8.reshape((b * g, t) + clips_u8.shape[3:]),
+                             self.crop_size)[..., None]
+        feats = self.video_model.apply(
+            self.video_vars, x, method=self.video_model.frame_features
+        )  # (B*G, T, D)
+        fmask = length_mask(clip_lengths.reshape(b * g), t, feats.dtype)[..., None]
+        clip_emb = jnp.sum(feats * fmask, axis=1) / jnp.maximum(
+            jnp.sum(fmask, axis=1), 1.0
+        )  # time-mean per clip (train_fusion.py:274)
+        clip_emb = clip_emb.reshape(b, g, -1)
+        gmask = length_mask(group_sizes, g, clip_emb.dtype)[..., None]
+        return jnp.sum(clip_emb * gmask, axis=1) / jnp.maximum(
+            jnp.sum(gmask, axis=1), 1.0
+        )  # group mean (train_fusion.py:275)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, pcm, clips_u8, clip_lengths, group_sizes, labels):
+        # frozen encoders run outside the grad scope
+        xv_audio = jax.lax.stop_gradient(self._audio_embed(pcm))
+        em_video = jax.lax.stop_gradient(
+            self._video_group_embed(clips_u8, clip_lengths, group_sizes)
+        )
+        valid = (group_sizes > 0).astype(jnp.float32)
+
+        def loss_fn(params):
+            fused = self.fusion_head.apply({"params": params["fusion"]}, xv_audio, em_video)
+            logits = self.criterion_dense.apply({"params": params["criterion"]}, fused)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            true_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+            per_ex = logz - true_logit
+            denom = jnp.maximum(jnp.sum(valid), 1.0)
+            loss = jnp.sum(per_ex * valid) / denom
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * valid) / denom
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, batch_stats={}, opt_state=opt_state,
+                       step=state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    def train(self, pipeline, epochs: int = 1) -> TrainState:
+        state = self.ensure_state()
+        os.makedirs(self.exp_dir, exist_ok=True)
+        logger = StepLogger(self.exp_dir, print_every=10, prefix="fusion")
+        guard = NanGuard()
+        step = int(state.step)
+        for epoch in range(self.current_epoch + 1, epochs + 1):
+            self.current_epoch = epoch
+            for batch in pipeline.epoch(epoch):
+                state, metrics = self._train_step(
+                    state,
+                    jax.device_put(batch["pcm"], data_sharding(self.mesh, 2)),
+                    jax.device_put(batch["clips"], data_sharding(self.mesh, 5)),
+                    jax.device_put(batch["clip_lengths"], data_sharding(self.mesh, 2)),
+                    jax.device_put(batch["group_sizes"], data_sharding(self.mesh, 1)),
+                    jax.device_put(batch["labels"], data_sharding(self.mesh, 1)),
+                )
+                step += 1
+                loss = float(metrics["loss"])
+                guard.check(loss)
+                logger.log(step, examples=len(batch["labels"]), loss=loss,
+                           acc=float(metrics["acc"]), epoch=epoch)
+            self.state = state
+            self.save(epoch)
+        logger.close()
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------
+    def save(self, epoch: int | None = None) -> None:
+        state = self.ensure_state()
+        epoch = epoch if epoch is not None else self.current_epoch
+        tree = {
+            "epoch": epoch,
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": {},
+        }
+        ckpt.save_checkpoint(self.exp_dir, epoch, tree)
+
+    def model_average(self, avg_num: int = 2) -> None:
+        """avg-last-2 (``train_fusion.py:158-174``)."""
+        epochs = [self.current_epoch - i for i in range(avg_num) if self.current_epoch - i >= 1]
+        tree = ckpt.average_checkpoints(self.exp_dir, epochs)
+        state = self.ensure_state()
+        self.state = TrainState(
+            params=jax.device_put(tree["params"], replicated_sharding(self.mesh)),
+            batch_stats={},
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+
+    # ------------------------------------------------------------------
+    # test-time paired extraction
+    # ------------------------------------------------------------------
+    def extract_pair_embedding(
+        self, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes,
+        use_fusion_head: bool = False,
+    ) -> np.ndarray:
+        """Per-utterance fused test embedding.
+
+        Default: z-norm(audio xv) ++ z-norm(video group mean) concat — the
+        reference's live path (``train_fusion.py:352-358``). With
+        ``use_fusion_head`` the LowFER head output is returned instead.
+        """
+        state = self.ensure_state()
+        if use_fusion_head not in self._extract_fns:
+
+            @jax.jit
+            def run(params, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes):
+                feats = F.extract_features(pcm, self.raw_feat_cfg)
+                if self.feat_cfg.normalize:
+                    feats = masked_cmvn(feats, feat_lengths)
+                xv, _ = self.audio_model.apply(
+                    self.audio_vars, feats, lengths=feat_lengths,
+                    method=self.audio_model.extract_embedding,
+                )
+                em = self._video_group_embed(clips_u8, clip_lengths, group_sizes)
+                if use_fusion_head:
+                    return self.fusion_head.apply({"params": params["fusion"]}, xv, em)
+                return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
+
+            self._extract_fns[use_fusion_head] = run
+        return np.asarray(
+            self._extract_fns[use_fusion_head](
+                state.params, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes
+            )
+        )

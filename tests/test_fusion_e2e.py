@@ -1,0 +1,159 @@
+"""End-to-end audio-visual fusion: paired synthetic corpus → frozen encoders
+→ batched-clip fusion training → paired test extraction → feature-fusion EER."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import make_mesh
+from deeplip_tpu.data.fusion_pipeline import AVTrainPipeline
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.synthetic import make_audio_corpus, synth_video_clip
+from deeplip_tpu.train.fusion import FusionTrainer
+
+TINY_AUDIO_MODEL = {
+    "arch": "tdnn",
+    "tdnn": {
+        "input_dim": 24,
+        "hidden_dim": [32, 32, 64],
+        "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]],
+        "tdnn_layers": 3,
+        "embedding_dim": 24,
+        "pooling": "statistic",
+        "attention_hidden_size": 8,
+        "bn_first": True,
+    },
+}
+
+TINY_VIDEO_CFG = Config(
+    {
+        "backbone_type": "resnet",
+        "relu_type": "prelu",
+        "tcn_dropout": 0.2,
+        "tcn_dwpw": False,
+        "tcn_kernel_size": [3],
+        "tcn_num_layers": 1,
+        "tcn_width_mult": 1,
+        "width_mult": 1.0,
+    }
+)
+
+AUDIO_DATA = {
+    "rate": 16000,
+    "feat_type": "mfcc",
+    "mfcc": {
+        "n_fft": 512, "num_bin": 26, "num_cep": 24, "energy": True,
+        "normalize": True, "delta": False, "win_len": 0.025, "win_shift": 0.01,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def av_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("av"))
+    make_audio_corpus(root, n_spk=3, utts_per_spk=3, duration=1.5)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    # one synthetic video clip per utterance, speaker-distinct
+    rng = np.random.default_rng(0)
+    video_map = {}
+    vdir = os.path.join(root, "video")
+    for s, spk in enumerate(manifest.speakers):
+        os.makedirs(os.path.join(vdir, f"s{s:02d}"), exist_ok=True)
+        for i, utt in enumerate(spk):
+            clip = synth_video_clip(rng, speaker_seed=2000 + s, t=8, size=96)
+            path = os.path.join(vdir, f"s{s:02d}", f"c{i}.npz")
+            np.savez(path, data=clip)
+            video_map[utt.path] = [path]
+    return manifest, video_map
+
+
+def test_fusion_train_and_extract(av_corpus, tmp_path):
+    manifest, video_map = av_corpus
+    mesh = make_mesh()
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL,
+        TINY_VIDEO_CFG,
+        n_spk=manifest.n_spk,
+        audio_data_opts=AUDIO_DATA,
+        mesh=mesh,
+        lr=0.05,
+        steps_per_epoch=4,
+        video_hidden_dim=8,
+        exp_root=str(tmp_path / "exp"),
+        log_time="f0",
+    )
+    trainer.init_encoders()
+    pipeline = AVTrainPipeline(
+        manifest, video_map, batch_size=8, frame_range=(40, 60),
+        n_buckets=2, max_clips=2, clip_frames=8, num_workers=2,
+    )
+    state = trainer.train(pipeline, epochs=2)
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_2"))
+    trainer.model_average(avg_num=2)
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_avg"))
+
+    records = open(os.path.join(trainer.exp_dir, "fusion_metrics.jsonl")).readlines()
+    assert len(records) >= 4
+
+    # paired test extraction: one utterance per speaker
+    from deeplip_tpu.data.audio_io import read_wav
+    from deeplip_tpu.data.video_dataset import load_clip
+    from deeplip_tpu.ops.framing import num_frames
+
+    pcm_list, names = [], []
+    max_s = 0
+    for s, spk in enumerate(manifest.speakers):
+        y, _ = read_wav(spk[0].path)
+        pcm_list.append(y)
+        names.append(f"s{s}")
+        max_s = max(max_s, len(y))
+    b = len(pcm_list)
+    pcm = np.zeros((b, max_s), np.float32)
+    lengths = np.zeros((b,), np.int32)
+    clips = np.zeros((b, 1, 8, 96, 96), np.uint8)
+    clip_lengths = np.ones((b, 1), np.int32) * 8
+    for i, y in enumerate(pcm_list):
+        pcm[i, : len(y)] = y
+        lengths[i] = num_frames(len(y), 400, 160)
+        clips[i, 0] = load_clip(video_map[manifest.speakers[i][0].path][0])[:8]
+    group_sizes = np.ones((b,), np.int32)
+
+    fused = trainer.extract_pair_embedding(pcm, lengths, clips, clip_lengths, group_sizes)
+    assert fused.shape == (b, 24 + 512)
+    assert np.all(np.isfinite(fused))
+
+    fused_head = trainer.extract_pair_embedding(
+        pcm, lengths, clips, clip_lengths, group_sizes, use_fusion_head=True
+    )
+    assert fused_head.shape == (b, 3 * 24)
+
+
+def test_bad_pair_masking(av_corpus, tmp_path):
+    """Items with no video clips must not contribute to the loss."""
+    manifest, video_map = av_corpus
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        exp_root=str(tmp_path / "exp2"), log_time="f1",
+    )
+    trainer.init_encoders()
+    state = trainer.ensure_state()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    pcm = rng.standard_normal((8, 16000)).astype(np.float32)
+    clips = rng.integers(0, 255, (8, 1, 8, 96, 96)).astype(np.uint8)
+    clip_lengths = np.full((8, 1), 8, np.int32)
+    labels = rng.integers(0, 3, 8).astype(np.int64)
+    all_valid = np.ones((8,), np.int32)
+    none_valid = np.zeros((8,), np.int32)
+    _, m_all = trainer._train_step(
+        trainer._init_state(), pcm, clips, clip_lengths, all_valid, labels
+    )
+    _, m_none = trainer._train_step(
+        trainer._init_state(), pcm, clips, clip_lengths, none_valid, labels
+    )
+    assert float(m_none["loss"]) == 0.0
+    assert float(m_all["loss"]) > 0.0
