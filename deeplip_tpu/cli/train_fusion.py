@@ -1,0 +1,181 @@
+"""Audio-visual fusion entry point.
+
+Mirrors the reference ``train_fusion.py`` __main__ flow (``:423-470``) with
+a real ``--mode`` flag:
+
+- ``train``   : load frozen encoders, train the fusion head, average last 2
+- ``av_test`` : paired extraction over the configured trial lists (z-norm
+  audio ++ z-norm video concat, the live reference path) → cosine EER
+
+Usage::
+
+    python -m deeplip_tpu.cli.train_fusion --config conf/fusion_config.yaml \
+        --mode train
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from deeplip_tpu.core.config import load_fusion_config
+from deeplip_tpu.data.audio_io import read_wav
+from deeplip_tpu.data.fusion_pipeline import AVTrainPipeline
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.video_dataset import load_clip
+from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
+from deeplip_tpu.ops.framing import num_frames
+from deeplip_tpu.train.fusion import FusionTrainer
+
+
+def build_video_map(manifest: SpeakerManifest, video_root: str) -> dict:
+    """utterance wav path -> matching clip npz group (glob by utterance stem
+    under the speaker's video dir, ≙ fusion datasets.py:143-150)."""
+    video_map = {}
+    for spk in manifest.speakers:
+        for utt in spk:
+            stem = os.path.splitext(os.path.basename(utt.path))[0]
+            spk_dir = os.path.basename(os.path.dirname(utt.path))
+            pattern = os.path.join(video_root, spk_dir, stem + "*.npz")
+            matches = sorted(glob.glob(pattern))
+            if matches:
+                video_map[utt.path] = matches
+    return video_map
+
+
+def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
+    model_opts = cfg.model
+    train_opts = cfg.train
+    video_tcn = dict(model_opts.video_config.tcn)
+    video_cfg = {
+        "backbone_type": video_tcn.get("backbone_type", "resnet"),
+        "relu_type": video_tcn.get("relu_type", "prelu"),
+        "tcn_kernel_size": video_tcn.get("tcn_kernel_size", [3, 5, 7]),
+        "tcn_num_layers": video_tcn.get("tcn_num_layers", 4),
+        "tcn_dropout": video_tcn.get("tcn_dropout", 0.2),
+        "tcn_dwpw": video_tcn.get("tcn_dwpw", False),
+        "tcn_width_mult": video_tcn.get("tcn_width_mult", 1),
+        "width_mult": video_tcn.get("width_mult", 1.0),
+    }
+    manifest = None
+    n_spk = int(train_opts.get("n_spk", 0))
+    if cfg.data.get("train_manifest") and os.path.exists(cfg.data["train_manifest"]):
+        manifest = SpeakerManifest.load(cfg.data["train_manifest"])
+        n_spk = manifest.n_spk
+    sgd = train_opts.get("sgd", {})
+    trainer = FusionTrainer(
+        model_opts.audio_config,
+        video_cfg,
+        n_spk=n_spk,
+        audio_data_opts=cfg.data.get("python_data_config", {}),
+        lr=float(sgd.get("init_lr", 0.5)),
+        weight_decay=float(sgd.get("weight_decay", 1e-5)),
+        momentum=float(sgd.get("momentum", 0.9)),
+        lr_decay_step=train_opts.get("lr_decay_step", [4, 8]),
+        lr_decay=float(train_opts.get("lr_decay", 0.1)),
+        exp_root=exp_root,
+        log_time=log_time,
+    )
+    trainer._manifest = manifest
+    audio_resume = train_opts.get("audio_config", {}).get("resume")
+    video_resume = train_opts.get("video_config", {}).get("resume")
+    trainer.init_encoders()
+    trainer.load_encoders(
+        audio_resume if audio_resume and os.path.exists(str(audio_resume)) else None,
+        video_resume if video_resume and os.path.exists(str(video_resume)) else None,
+    )
+    return trainer
+
+
+def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStore:
+    """Paired per-utterance extraction over a trial list's unique utts."""
+    data = cfg.data
+    trials = TrialList.load(trial_path)
+    video_root = data.get("video_root", ".")
+    test_root = data.get("test_root", ".")
+    max_clips = int(cfg.train.get("max_clips", 2))
+    clip_frames = int(cfg.train.get("clip_frames", 32))
+    store = EmbeddingStore()
+    names = trials.unique_utts
+    batch = 16
+    for i in range(0, len(names), batch):
+        chunk = names[i : i + batch]
+        pcm_list, clip_groups = [], []
+        for name in chunk:
+            y, sr = read_wav(os.path.join(test_root, name))
+            pcm_list.append(y)
+            stem = os.path.splitext(os.path.basename(name))[0]
+            spk_dir = os.path.dirname(name)
+            matches = sorted(
+                glob.glob(os.path.join(video_root, spk_dir, stem + "*.npz"))
+            )[:max_clips]
+            clip_groups.append(matches)
+        max_s = max(len(y) for y in pcm_list)
+        b = len(chunk)
+        pcm = np.zeros((b, max_s), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        h = w = 96
+        clips = np.zeros((b, max_clips, clip_frames, h, w), np.uint8)
+        clip_lengths = np.zeros((b, max_clips), np.int32)
+        group_sizes = np.zeros((b,), np.int32)
+        for r, (y, group) in enumerate(zip(pcm_list, clip_groups)):
+            pcm[r, : len(y)] = y
+            lengths[r] = num_frames(len(y), 400, 160)
+            for g, cp in enumerate(group):
+                d = load_clip(cp)[:clip_frames]
+                clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
+                clip_lengths[r, g] = len(d)
+            group_sizes[r] = len(group)
+        fused = trainer.extract_pair_embedding(
+            pcm, lengths, clips, clip_lengths, group_sizes,
+            use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),
+        )
+        for r, name in enumerate(chunk):
+            store[name] = fused[r]
+    return store
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="conf/fusion_config.yaml")
+    p.add_argument("--mode", default="train", choices=["train", "av_test"])
+    p.add_argument("--exp-root", default="exp")
+    p.add_argument("--log-time", default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_fusion_config(args.config)
+    trainer = make_trainer(cfg, args.exp_root, args.log_time)
+
+    if args.mode == "train":
+        manifest = trainer._manifest
+        if manifest is None:
+            raise SystemExit("train mode needs data.train_manifest")
+        video_map = build_video_map(manifest, cfg.data.get("video_root", "."))
+        pipeline = AVTrainPipeline(
+            manifest,
+            video_map,
+            batch_size=int(cfg.train.get("bs", 60)),
+            frame_range=tuple(cfg.data.get("frames", (200, 400))),
+            max_clips=int(cfg.train.get("max_clips", 2)),
+            clip_frames=int(cfg.train.get("clip_frames", 32)),
+        )
+        trainer.train(pipeline, epochs=int(cfg.train.get("epoch", 15)))
+        trainer.model_average(avg_num=2)
+        return
+
+    test = cfg.get("test", {})
+    for key, trial_key in (("eval_lomgrid", "trial_lomgrid"), ("eval_grid", "trial_grid")):
+        if not test.get(key):
+            continue
+        trial_path = cfg.data[trial_key]
+        store = extract_pairs(trainer, cfg, trial_path)
+        store.save_npy_tree(os.path.join(trainer.exp_dir, f"test_em_{trial_key}"))
+        eer, _ = cosine_eer(TrialList.load(trial_path), store)
+        print(f"[{trial_key}] fusion EER: {eer * 100:.6f}%")
+
+
+if __name__ == "__main__":
+    main()

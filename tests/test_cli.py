@@ -1,0 +1,104 @@
+"""CLI smoke tests: the reference's entry-point surface must work end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.synthetic import make_audio_corpus, make_trial_list, make_video_corpus
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli"))
+    make_audio_corpus(root, n_spk=3, utts_per_spk=4, duration=1.5)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    trial_path = os.path.join(root, "trials.txt")
+    make_trial_list(trial_path, manifest, n_trials=60)
+    return root, manifest, trial_path
+
+
+def _write_audio_config(path, root, trial_path):
+    cfg = {
+        "data": {
+            "frames": [40, 60],
+            "train_manifest": os.path.join(root, "manifest.csv"),
+            "test_root": root,
+            "trial_grid": trial_path,
+            "python_data_config": {
+                "rate": 16000,
+                "feat_type": "mfcc",
+                "mfcc": {
+                    "n_fft": 512, "num_bin": 26, "num_cep": 24, "energy": True,
+                    "normalize": True, "delta": False,
+                    "win_len": 0.025, "win_shift": 0.01,
+                },
+            },
+        },
+        "model": {
+            "arch": "tdnn",
+            "tdnn": {
+                "input_dim": 24,
+                "hidden_dim": [32, 32, 64],
+                "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]],
+                "tdnn_layers": 3,
+                "embedding_dim": 16,
+                "pooling": "statistic",
+                "attention_hidden_size": 8,
+                "bn_first": True,
+            },
+        },
+        "train": {
+            "type": "sgd", "bs": 8, "lr_decay": 0.1, "lr_decay_step": [50],
+            "epoch": 1, "loss": "LMCL", "scale": 30, "margin": [0.2, 0.2],
+            "frame_buckets": 2, "loader_workers": 2, "log_every": 0,
+            "sgd": {"init_lr": 0.05, "weight_decay": 1e-5, "momentum": 0.9},
+        },
+        "test": {"eval_grid": True, "use_cos": True, "bucket_frames": 50,
+                 "batch_size": 8},
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+def test_cli_train_audio_mode_train(cli_corpus, tmp_path, capsys):
+    from deeplip_tpu.cli.train_audio import main
+
+    root, _, trial_path = cli_corpus
+    cfg_path = str(tmp_path / "audio.yaml")
+    _write_audio_config(cfg_path, root, trial_path)
+    main(["--config", cfg_path, "--mode", "train",
+          "--exp-root", str(tmp_path / "exp"), "--log-time", "cli0"])
+    out = capsys.readouterr().out
+    assert "EER:" in out
+    # average checkpoint written, npy tree saved
+    assert os.path.isdir(str(tmp_path / "exp" / "cli0" / "net_avg"))
+    assert os.path.isdir(str(tmp_path / "exp" / "cli0" / "test_xv"))
+
+
+def test_cli_train_video_extract(tmp_path, capsys):
+    from deeplip_tpu.cli.train_video import main
+
+    vroot = str(tmp_path / "video")
+    make_video_corpus(vroot, n_spk=2, clips_per_spk=2, t=6, size=96)
+    cfg_path = str(tmp_path / "video.json")
+    json.dump(
+        {
+            "backbone_type": "resnet", "relu_type": "prelu",
+            "tcn_dropout": 0.2, "tcn_dwpw": False, "tcn_kernel_size": [3],
+            "tcn_num_layers": 1, "tcn_width_mult": 1, "width_mult": 1.0,
+        },
+        open(cfg_path, "w"),
+    )
+    out_dir = str(tmp_path / "embedding")
+    main([
+        "--config-path", cfg_path, "--data-dir", vroot, "--extract-feats",
+        "--mouth-embedding-out-path", out_dir, "--batch-size", "4",
+        "--workers", "1", "--exp-root", str(tmp_path / "exp"),
+    ])
+    assert "extracted 4 clip feature arrays" in capsys.readouterr().out
+    saved = [f for _, _, fs in os.walk(out_dir) for f in fs]
+    assert len(saved) == 4
