@@ -1,0 +1,126 @@
+"""Kaldi ark/scp round-trip and torch->flax weight-import parity tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeplip_tpu.interop.kaldi import KaldiHelper, read_ark, read_scp, write_ark_scp
+
+
+def test_kaldi_roundtrip_matrix_vector(tmp_path):
+    rng = np.random.default_rng(0)
+    utt2arr = {
+        "utt_a": rng.standard_normal((7, 24)).astype(np.float32),
+        "utt_b": rng.standard_normal((3, 24)).astype(np.float32),
+        "xv_c": rng.standard_normal(512).astype(np.float32),
+    }
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    write_ark_scp(utt2arr, ark, scp)
+    got = dict(read_scp(scp))
+    assert set(got) == set(utt2arr)
+    for k in utt2arr:
+        np.testing.assert_array_equal(got[k], utt2arr[k])
+    # sequential ark iteration too
+    got_seq = dict(read_ark(ark))
+    for k in utt2arr:
+        np.testing.assert_array_equal(got_seq[k], utt2arr[k])
+
+
+def test_kaldi_helper_api(tmp_path):
+    rng = np.random.default_rng(1)
+    helper = KaldiHelper()
+    utt2xv = {"u1": rng.standard_normal(16).astype(np.float32)}
+    ark, scp = str(tmp_path / "xv.ark"), str(tmp_path / "xv.scp")
+    helper.write_speaker_embedding(utt2xv, ark, scp)
+    for vec, utt in helper.read_speaker_embedding(scp):
+        np.testing.assert_array_equal(vec, utt2xv[utt])
+
+
+def test_kaldiio_crosscheck(tmp_path):
+    """If kaldiio is installed, our writer must be readable by it."""
+    kaldiio = pytest.importorskip("kaldiio")
+    rng = np.random.default_rng(2)
+    utt2arr = {"u": rng.standard_normal((5, 8)).astype(np.float32)}
+    ark, scp = str(tmp_path / "x.ark"), str(tmp_path / "x.scp")
+    write_ark_scp(utt2arr, ark, scp)
+    with kaldiio.ReadHelper(f"scp:{scp}") as reader:
+        for utt, arr in reader:
+            np.testing.assert_allclose(arr, utt2arr[utt], atol=1e-6)
+
+
+def _torch_reference_tdnn(torch, contexts, dims, emb_dim):
+    """Independent torch model with the reference's state_dict layout
+    (module names tdnn.{i}.context_layer / .bn, fc1/bn1/fc2/bn2)."""
+    nn = torch.nn
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, ctx):
+            super().__init__()
+            k = len(ctx)
+            d = (ctx[-1] - ctx[0]) // (k - 1) if k > 1 else 1
+            self.context_layer = nn.Conv1d(cin, cout, k, dilation=d)
+            self.bn = nn.BatchNorm1d(cout)
+            self.act = nn.LeakyReLU(0.2)
+
+        def forward(self, x):
+            return self.act(self.bn(self.context_layer(x)))
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            blocks = []
+            cin = dims[0]
+            for ctx, cout in zip(contexts, dims[1:]):
+                blocks.append(Block(cin, cout, ctx))
+                cin = cout
+            self.tdnn = nn.Sequential(*blocks)
+            self.fc1 = nn.Linear(dims[-1] * 2, emb_dim)
+            self.bn1 = nn.BatchNorm1d(emb_dim)
+            self.act = nn.LeakyReLU(0.2)
+            self.fc2 = nn.Linear(emb_dim, emb_dim)
+            self.bn2 = nn.BatchNorm1d(emb_dim)
+
+        def extract(self, x):
+            h = self.tdnn(x)
+            stats = torch.cat([h.mean(2), h.std(2)], 1)
+            return self.fc2(self.act(self.bn1(self.fc1(stats))))
+
+    return Net().eval()
+
+
+def test_torch_import_embedding_parity():
+    """Embeddings from imported weights must match torch ≤1e-4 (BASELINE bar)."""
+    torch = pytest.importorskip("torch")
+    from deeplip_tpu.interop.torch_import import import_speaker_embnet_state_dict
+    from deeplip_tpu.models.tdnn import SpeakerEmbNet
+
+    contexts = [[-2, -1, 0, 1, 2], [-2, 0, 2], [-3, 0, 3], [0], [0]]
+    dims = [24, 64, 64, 64, 64, 128]
+    emb = 32
+    tnet = _torch_reference_tdnn(torch, contexts, dims, emb)
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params, stats = import_speaker_embnet_state_dict(tnet.state_dict(), n_blocks=5)
+    model = SpeakerEmbNet(
+        contexts=tuple(tuple(c) for c in contexts),
+        hidden_dims=tuple(dims[1:]),
+        embedding_dim=emb,
+        pooling="statistic",
+    )
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 80, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet.extract(torch.tensor(x).transpose(1, 2)).numpy()
+    got, _ = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x),
+        method=model.extract_embedding,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
