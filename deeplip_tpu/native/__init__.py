@@ -1,0 +1,131 @@
+"""ctypes bindings for the native IO library (``wavio.cpp``).
+
+Builds the shared library on first use if the toolchain is available
+(``make -C deeplip_tpu/native``); falls back cleanly when not —
+:func:`available` gates all callers, and the pure-Python
+``data.audio_io.read_wav`` remains the default reader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libdeeplip_native.so")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.dl_read_wav.restype = ctypes.c_long
+    lib.dl_read_wav.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.dl_wav_info.restype = ctypes.c_int
+    lib.dl_wav_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.dl_read_wav_batch.restype = None
+    lib.dl_read_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def wav_info(path: str) -> tuple[int, int, int]:
+    """(rate, channels, n_frames)"""
+    lib = _load()
+    rate = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = ctypes.c_long()
+    rc = lib.dl_wav_info(path.encode(), ctypes.byref(rate), ctypes.byref(ch), ctypes.byref(n))
+    if rc != 0:
+        raise IOError(f"dl_wav_info({path}) failed: {rc}")
+    return rate.value, ch.value, n.value
+
+
+def read_wav(path: str, start: int = 0, stop: int | None = None, mono: bool = True):
+    """Native drop-in for ``data.audio_io.read_wav`` (channel-0 float32)."""
+    lib = _load()
+    rate, _, n_frames = wav_info(path)
+    stop = n_frames if stop is None else min(stop, n_frames)
+    start = min(start, stop)
+    cap = max(stop - start, 0)
+    out = np.empty((cap,), np.float32)
+    got = lib.dl_read_wav(
+        path.encode(), start, stop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        None,
+    )
+    if got < 0:
+        raise IOError(f"dl_read_wav({path}) failed: {got}")
+    return out[:got], rate
+
+
+def read_wav_batch(
+    paths: list[str],
+    starts: list[int],
+    stops: list[int],
+    capacities: list[int],
+    n_threads: int = 4,
+):
+    """Threaded batch decode into one flat buffer.
+
+    Returns ``(flat, offsets, wrote, rates)`` where file i occupies
+    ``flat[offsets[i] : offsets[i] + wrote[i]]``.
+    """
+    lib = _load()
+    n = len(paths)
+    offsets = np.zeros((n,), np.int64)
+    np.cumsum(capacities[:-1], out=offsets[1:]) if n > 1 else None
+    flat = np.zeros((int(offsets[-1] + capacities[-1]) if n else 0,), np.float32)
+    wrote = np.zeros((n,), np.int64)
+    rates = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    arr_l = lambda a: np.ascontiguousarray(a, np.int64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_long)
+    )
+    lib.dl_read_wav_batch(
+        c_paths,
+        arr_l(np.asarray(starts)),
+        arr_l(np.asarray(stops)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        arr_l(np.asarray(capacities)),
+        wrote.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        n_threads,
+    )
+    return flat, offsets, wrote, rates

@@ -1,0 +1,202 @@
+"""Fused Pallas TPU kernel: PCM → framed DFT power → mel → log (→ MFCC).
+
+The jnp front-end (``deeplip_tpu.ops.features``) materializes the framed
+signal ``(B, T, frame_len)`` and the power spectrum ``(B, T, n_fft/2+1)`` in
+HBM — for a 256×400-frame batch that is ~165 MB + ~105 MB of round-trip HBM
+traffic for ~0.1 GFLOP of math: purely bandwidth-bound. This kernel keeps
+everything on-chip per (batch-row, frame-tile) grid cell.
+
+Framing trick: rather than materializing overlapping frames (Mosaic cannot
+reshape across lane boundaries anyway), the DFT is decomposed over
+step-sized row blocks. With hop ``h``, window ``w``, ``k = ceil(w/h)``,
+frame ``t`` is the concatenation of sample rows ``r_t, …, r_{t+k-1}``
+(each of length ``h``, the last truncated), so
+
+    frames @ C  ==  Σ_{i<k}  rows[i : i+T_tile] @ C_i
+
+where ``C_i`` is the basis rows ``[i·h, i·h+h)`` zero-padded to ``h`` — the
+framing *is* the matmul decomposition; each partial product is a dense
+``(T_tile, h) x (h, n_bins)`` MXU op:
+
+    HBM rows ──DMA──▶ VMEM (T_tile-1+k, h)
+        Σ rows@cos_i, Σ rows@sin_i  → power spectrum   [MXU]
+        power @ mel_fb → log (→ @ dct → lifter → c0)   [MXU/VPU]
+    features ──▶ HBM (B, T, D)  (the only HBM write)
+
+The overlapping row windows can't be disjoint BlockSpec tiles, so the
+row-major signal stays in ANY/HBM space and each grid cell DMAs its own
+``(T_tile-1+k, h)`` row window (the guide's manual-DMA pattern).
+
+Numerics match ``ops.features`` exactly (same basis matrices, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deeplip_tpu.ops import spectral
+from deeplip_tpu.ops.features import _PSF_EPS, FeatureConfig
+from deeplip_tpu.ops.framing import num_frames, preemphasis
+
+
+@lru_cache(maxsize=None)
+def _dft_row_blocks(frame_len: int, frame_step: int, n_fft: int, h_pad: int):
+    """cos/sin bases split into k (h_pad, n_bins) blocks, zero-padded so the
+    row lane dimension is tiling-aligned (h_pad = frame_step rounded up to a
+    multiple of 128)."""
+    cos_m, sin_m = spectral.rdft_matrices(frame_len, n_fft)
+    k = math.ceil(frame_len / frame_step)
+    n_bins = n_fft // 2 + 1
+    cos_blocks = np.zeros((k, h_pad, n_bins), np.float32)
+    sin_blocks = np.zeros((k, h_pad, n_bins), np.float32)
+    for i in range(k):
+        lo = i * frame_step
+        hi = min(lo + frame_step, frame_len)
+        cos_blocks[i, : hi - lo] = cos_m[lo:hi]
+        sin_blocks[i, : hi - lo] = sin_m[lo:hi]
+    return cos_blocks, sin_blocks
+
+
+def _feature_kernel(
+    rows_hbm, cos_ref, sin_ref, mel_ref, dct_ref, lift_ref, out_ref,
+    rows_vmem, sems,
+    *, t_tile: int, k: int, n_fft: int, feat_type: str, energy: bool,
+):
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    # one aligned DMA of the whole overlap window (offset t_idx*t_tile and
+    # size t_tile+pad are both sublane-aligned); the k row shifts are static
+    # vector slices of the loaded window (cheap sublane rotations)
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[b_idx, pl.ds(t_idx * t_tile, rows_vmem.shape[0])],
+        rows_vmem,
+        sems,
+    )
+    dma.start()
+    dma.wait()
+
+    window = rows_vmem[:]
+    re = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
+    im = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
+    for i in range(k):
+        block = window[i : i + t_tile]
+        re += jnp.dot(block, cos_ref[i], preferred_element_type=jnp.float32)
+        im += jnp.dot(block, sin_ref[i], preferred_element_type=jnp.float32)
+    power = (re * re + im * im) * (1.0 / n_fft)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.where(mel == 0, _PSF_EPS, mel)
+    if feat_type == "fbank":
+        out_ref[0] = mel
+        return
+    logmel = jnp.log(mel)
+    if feat_type == "logfbank":
+        out_ref[0] = logmel
+        return
+    cep = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
+    cep = cep * lift_ref[0]
+    if energy:
+        e = jnp.sum(power, axis=-1, keepdims=True)
+        e = jnp.where(e == 0, _PSF_EPS, e)
+        cep = jnp.concatenate([jnp.log(e), cep[:, 1:]], axis=-1)
+    out_ref[0] = cep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "t_tile"))
+def pallas_audio_features(
+    signal: jnp.ndarray,
+    cfg: FeatureConfig,
+    interpret: bool = False,
+    t_tile: int = 128,
+) -> jnp.ndarray:
+    """Fused feature extraction: ``(B, S) -> (B, T, D)`` (no CMVN/deltas).
+
+    Pre-emphasis runs as one fused XLA pass; the framed DFT→mel(→DCT)
+    pipeline is a single Pallas kernel. ``interpret`` runs the kernel in
+    interpreter mode (CPU tests).
+    """
+    if cfg.feat_type not in ("mfcc", "fbank", "logfbank"):
+        raise NotImplementedError(
+            f"pallas path supports mel front-ends, not {cfg.feat_type!r}"
+        )
+    frame_len, frame_step = cfg.frame_len, cfg.frame_step
+    b, s = signal.shape
+    t = num_frames(s, frame_len, frame_step)
+    # DMA offsets are t_idx * t_tile: keep the tile a multiple of 8 sublanes
+    t_tile = max(8, (t_tile // 8) * 8)
+    t_tile = min(t_tile, max(8, -(-t // 8) * 8))
+    n_tiles = -(-t // t_tile)
+    k = math.ceil(frame_len / frame_step)
+    overlap = -(-(k - 1) // 8) * 8  # window overhang, sublane-aligned
+    n_rows = n_tiles * t_tile + overlap
+
+    emph = preemphasis(signal, cfg.preemph)
+    need = n_rows * frame_step
+    if need > s:
+        emph = jnp.pad(emph, ((0, 0), (0, need - s)))
+    rows = emph[:, :need].reshape(b, n_rows, frame_step)
+    # pad the lane (hop) dimension up to a multiple of 128 so DMA slices are
+    # tiling-aligned; the matching basis rows are zero so results are exact
+    h_pad = -(-frame_step // 128) * 128
+    if h_pad != frame_step:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, h_pad - frame_step)))
+
+    cos_blocks, sin_blocks = _dft_row_blocks(frame_len, frame_step, cfg.n_fft, h_pad)
+    mel = spectral.mel_filterbank(
+        cfg.num_bin, cfg.n_fft, cfg.rate, cfg.low_freq, cfg.high_freq
+    )
+    if cfg.feat_type == "mfcc":
+        dct = spectral.dct_matrix(cfg.num_cep, cfg.num_bin)
+        lift = spectral.cepstral_lifter(cfg.num_cep, cfg.ceplifter)
+        d_out = cfg.num_cep
+    else:
+        dct = np.zeros((cfg.num_bin, 1))
+        lift = np.zeros((1,))
+        d_out = cfg.num_bin
+
+    kernel = functools.partial(
+        _feature_kernel,
+        t_tile=t_tile,
+        k=k,
+        n_fft=cfg.n_fft,
+        feat_type=cfg.feat_type,
+        energy=cfg.energy,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            # whole array pinned to HBM (free-form DMA offsets); each grid
+            # cell DMAs its own overlapping row windows
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos row blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sin row blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dct
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lifter
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, d_out), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * t_tile, d_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t_tile + overlap, h_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        rows,
+        jnp.asarray(cos_blocks),
+        jnp.asarray(sin_blocks),
+        jnp.asarray(mel, jnp.float32),
+        jnp.asarray(dct, jnp.float32),
+        jnp.asarray(lift.reshape(1, -1), jnp.float32),
+    )
+    return out[:, :t]

@@ -35,6 +35,8 @@ import jax as _jax  # noqa: E402
 import chex as _chex  # noqa: E402, F401
 import optax as _optax  # noqa: E402, F401
 import flax as _flax  # noqa: E402, F401
+import jax.experimental.pallas as _pl  # noqa: E402, F401
+import jax.experimental.pallas.tpu as _pltpu  # noqa: E402, F401
 
 from jax._src import xla_bridge as _xla_bridge  # noqa: E402
 
