@@ -72,41 +72,77 @@ def _feature_kernel(
 ):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
-    # one aligned DMA of the whole overlap window (offset t_idx*t_tile and
-    # size t_tile+pad are both sublane-aligned); the k row shifts are static
-    # vector slices of the loaded window (cheap sublane rotations)
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[b_idx, pl.ds(t_idx * t_tile, rows_vmem.shape[0])],
-        rows_vmem,
-        sems,
-    )
-    dma.start()
-    dma.wait()
+    n_tiles = pl.num_programs(1)
+    n_b = pl.num_programs(0)
+    window_rows = rows_vmem.shape[1]
 
-    window = rows_vmem[:]
+    # Double-buffered DMA: each grid cell's window was prefetched by its
+    # predecessor; this cell starts the successor's transfer, then waits on
+    # its own slot. One aligned DMA per cell (offset t_idx*t_tile and size
+    # t_tile+pad are both sublane-aligned); the k row shifts are static
+    # vector slices of the loaded window (cheap sublane rotations).
+    lin = b_idx * n_tiles + t_idx
+    slot = jax.lax.rem(lin, 2)
+
+    def dma_for(linear, slot_idx):
+        b2 = jax.lax.div(linear, n_tiles)
+        t2 = jax.lax.rem(linear, n_tiles)
+        return pltpu.make_async_copy(
+            rows_hbm.at[b2, pl.ds(t2 * t_tile, window_rows)],
+            rows_vmem.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin, slot).start()
+
+    @pl.when(lin + 1 < n_b * n_tiles)
+    def _():
+        dma_for(lin + 1, jax.lax.rem(lin + 1, 2)).start()
+
+    dma_for(lin, slot).wait()
+
+    window = rows_vmem[slot]
+    d_pad = out_ref.shape[-1]
+
+    def mm(a, b):
+        # full-f32 MXU passes; default precision would run bf16 and lose
+        # ~3 decimal digits, failing the 1e-4 feature-parity bar
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
     re = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
     for i in range(k):
         block = window[i : i + t_tile]
-        re += jnp.dot(block, cos_ref[i], preferred_element_type=jnp.float32)
-        im += jnp.dot(block, sin_ref[i], preferred_element_type=jnp.float32)
+        re += mm(block, cos_ref[i])
+        im += mm(block, sin_ref[i])
     power = (re * re + im * im) * (1.0 / n_fft)
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = mm(power, mel_ref[:])
     mel = jnp.where(mel == 0, _PSF_EPS, mel)
+
+    def pad_d(x):
+        return jnp.pad(x, ((0, 0), (0, d_pad - x.shape[-1])))
+
     if feat_type == "fbank":
-        out_ref[0] = mel
+        out_ref[0] = pad_d(mel)
         return
     logmel = jnp.log(mel)
     if feat_type == "logfbank":
-        out_ref[0] = logmel
+        out_ref[0] = pad_d(logmel)
         return
-    cep = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
-    cep = cep * lift_ref[0]
+    cep = mm(logmel, dct_ref[:]) * lift_ref[:]  # (1, d) 2-D broadcast
     if energy:
         e = jnp.sum(power, axis=-1, keepdims=True)
         e = jnp.where(e == 0, _PSF_EPS, e)
-        cep = jnp.concatenate([jnp.log(e), cep[:, 1:]], axis=-1)
-    out_ref[0] = cep
+        # masked select instead of a lane-unaligned concat
+        col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
+        cep = jnp.where(col == 0, jnp.log(e), cep)
+    out_ref[0] = pad_d(cep)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "t_tile"))
@@ -161,6 +197,8 @@ def pallas_audio_features(
         lift = np.zeros((1,))
         d_out = cfg.num_bin
 
+    # lane-align the output block; sliced back to d_out at the end
+    d_pad = -(-d_out // 128) * 128
     kernel = functools.partial(
         _feature_kernel,
         t_tile=t_tile,
@@ -183,12 +221,12 @@ def pallas_audio_features(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lifter
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, d_out), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, t_tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * t_tile, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * t_tile, d_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((t_tile + overlap, h_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, t_tile + overlap, h_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
@@ -199,4 +237,4 @@ def pallas_audio_features(
         jnp.asarray(dct, jnp.float32),
         jnp.asarray(lift.reshape(1, -1), jnp.float32),
     )
-    return out[:, :t]
+    return out[:, :t, :d_out]

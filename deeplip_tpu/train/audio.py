@@ -92,7 +92,15 @@ class AudioTrainer:
             self.manifest.n_spk if self.manifest else 0
         )
 
-        self.model = SpeakerEmbNet.from_config(self.model_opts)
+        arch = self.model_opts.get("arch", "etdnn")
+        if arch in ("tdnn", "etdnn"):
+            self.model = SpeakerEmbNet.from_config(self.model_opts)
+        elif arch == "resnet":
+            from deeplip_tpu.models.audio_resnet import AudioResNet
+
+            self.model = AudioResNet.from_config(self.model_opts)
+        else:
+            raise NotImplementedError(f"audio arch {arch!r}")
         margin_range = self.train_opts.get("margin", [0.2, 0.2])
         self.init_margin, self.end_margin = float(margin_range[0]), float(margin_range[-1])
         self.loss_name = self.train_opts.get("loss", "LMCL")

@@ -1,0 +1,110 @@
+"""Distributed consistency: the sharded train step must match single-device.
+
+Runs the same batch through AudioTrainer's jitted step on a 1-device mesh
+and an 8-device mesh (virtual CPU devices); losses and updated parameters
+must agree — XLA's inserted collectives (gradient all-reduce, sync-BN
+reductions) are exact reductions, so any divergence beyond float noise is a
+sharding bug.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import data_sharding, make_mesh
+from deeplip_tpu.ops.framing import samples_for_frames
+from deeplip_tpu.train.audio import AudioTrainer
+
+TINY = Config(
+    {
+        "data": {
+            "frames": [40, 60],
+            "python_data_config": {
+                "rate": 16000,
+                "feat_type": "mfcc",
+                "mfcc": {
+                    "n_fft": 512, "num_bin": 26, "num_cep": 24, "energy": True,
+                    "normalize": True, "delta": False,
+                    "win_len": 0.025, "win_shift": 0.01,
+                },
+            },
+        },
+        "model": {
+            "arch": "tdnn",
+            "tdnn": {
+                "input_dim": 24,
+                "hidden_dim": [32, 32, 64],
+                "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]],
+                "tdnn_layers": 3,
+                "embedding_dim": 16,
+                "pooling": "statistic",
+                "attention_hidden_size": 8,
+                "bn_first": True,
+            },
+        },
+        "train": {
+            "type": "sgd", "bs": 16, "lr_decay": 0.1, "lr_decay_step": [100],
+            "epoch": 1, "loss": "LMCL", "scale": 30, "margin": [0.2, 0.2],
+            "sgd": {"init_lr": 0.05, "weight_decay": 1e-5, "momentum": 0.9},
+        },
+        "test": {},
+    }
+)
+
+
+def _run_steps(mesh, pcm, labels, n_steps=3):
+    trainer = AudioTrainer(TINY, mesh=mesh, n_spk=4)
+    state = trainer.ensure_state()
+    for _ in range(n_steps):
+        state, metrics = trainer._train_step(
+            state,
+            jax.device_put(pcm, data_sharding(mesh, 2)),
+            jax.device_put(labels, data_sharding(mesh, 1)),
+            jnp.float32(0.2),
+        )
+    return float(metrics["loss"]), jax.tree_util.tree_map(np.asarray, state.params)
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(0)
+    samples = samples_for_frames(50, 0.025, 0.01, 16000)
+    pcm = rng.standard_normal((16, samples)).astype(np.float32)
+    labels = rng.integers(0, 4, 16).astype(np.int64)
+
+    mesh1 = make_mesh([("data", 1)], devices=jax.devices()[:1])
+    mesh8 = make_mesh([("data", 8)])
+    loss1, params1 = _run_steps(mesh1, pcm, labels)
+    loss8, params8 = _run_steps(mesh8, pcm, labels)
+
+    assert abs(loss1 - loss8) < 1e-4, (loss1, loss8)
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat8 = jax.tree_util.tree_leaves(params8)
+    for a, b in zip(flat1, flat8):
+        # reduction order differs across mesh sizes; momentum-SGD amplifies
+        # f32 accumulation noise to a few 1e-4 after 3 steps
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_embeddings_identical_across_mesh_sizes(tmp_path):
+    """Eval-mode extraction must be bitwise-stable across mesh sizes."""
+    rng = np.random.default_rng(1)
+    samples = samples_for_frames(60, 0.025, 0.01, 16000)
+    pcm = rng.standard_normal((8, samples)).astype(np.float32)
+    lengths = np.full((8,), 60, np.int32)
+
+    outs = []
+    for nd in (1, 8):
+        mesh = make_mesh([("data", nd)], devices=jax.devices()[:nd])
+        trainer = AudioTrainer(TINY, mesh=mesh, n_spk=4)
+        state = trainer.ensure_state()
+        embed = trainer._embed_fn()
+        out = embed(
+            state.params,
+            state.batch_stats,
+            jax.device_put(pcm, data_sharding(mesh, 2)),
+            jax.device_put(lengths, data_sharding(mesh, 1)),
+        )
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
