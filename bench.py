@@ -60,13 +60,16 @@ def main():
 
     @jax.jit
     def embed_batch(variables, key):
-        pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
-        feats = F.extract_features(pcm, raw_cfg)
-        feats = masked_cmvn(feats, lengths)
-        xv, _ = model.apply(
-            variables, feats, lengths=lengths, method=model.extract_embedding
-        )
-        return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
+        # 'high' matmul precision: the parity-grade extraction path (bf16
+        # default would be ~8e-4 off the reference embeddings)
+        with jax.default_matmul_precision("high"):
+            pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
+            feats = F.extract_features(pcm, raw_cfg)
+            feats = masked_cmvn(feats, lengths)
+            xv, _ = model.apply(
+                variables, feats, lengths=lengths, method=model.extract_embedding
+            )
+            return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
 
     @jax.jit
     def score(embs, pairs):

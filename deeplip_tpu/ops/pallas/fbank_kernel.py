@@ -49,9 +49,9 @@ from deeplip_tpu.ops.framing import num_frames, preemphasis
 
 @lru_cache(maxsize=None)
 def _dft_row_blocks(frame_len: int, frame_step: int, n_fft: int, h_pad: int):
-    """cos/sin bases split into k (h_pad, n_bins) blocks, zero-padded so the
-    row lane dimension is tiling-aligned (h_pad = frame_step rounded up to a
-    multiple of 128)."""
+    """cos/sin bases as (k·h_pad, n_bins) stacked blocks: block i holds basis
+    rows [i·h, i·h+h) zero-padded to h_pad (the lane-aligned hop), matching
+    the kernel's lane-concat of the k shifted windows."""
     cos_m, sin_m = spectral.rdft_matrices(frame_len, n_fft)
     k = math.ceil(frame_len / frame_step)
     n_bins = n_fft // 2 + 1
@@ -62,7 +62,10 @@ def _dft_row_blocks(frame_len: int, frame_step: int, n_fft: int, h_pad: int):
         hi = min(lo + frame_step, frame_len)
         cos_blocks[i, : hi - lo] = cos_m[lo:hi]
         sin_blocks[i, : hi - lo] = sin_m[lo:hi]
-    return cos_blocks, sin_blocks
+    return (
+        cos_blocks.reshape(k * h_pad, n_bins),
+        sin_blocks.reshape(k * h_pad, n_bins),
+    )
 
 
 def _feature_kernel(
@@ -115,12 +118,16 @@ def _feature_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    re = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
-    im = jnp.zeros((t_tile, cos_ref.shape[-1]), jnp.float32)
+    # k shifted-window matmuls accumulated (a lane-concat into one wide
+    # matmul is not lowerable: Mosaic rejects concats of vectors with
+    # mismatched sublane offsets)
+    h = window.shape[-1]
+    re = jnp.zeros((t_tile, out_bins := cos_ref.shape[-1]), jnp.float32)
+    im = jnp.zeros((t_tile, out_bins), jnp.float32)
     for i in range(k):
         block = window[i : i + t_tile]
-        re += mm(block, cos_ref[i])
-        im += mm(block, sin_ref[i])
+        re += mm(block, cos_ref[pl.ds(i * h, h)])
+        im += mm(block, sin_ref[pl.ds(i * h, h)])
     power = (re * re + im * im) * (1.0 / n_fft)
     mel = mm(power, mel_ref[:])
     mel = jnp.where(mel == 0, _PSF_EPS, mel)

@@ -312,24 +312,30 @@ class AudioTrainer:
     # embedding extraction + scoring
     # ------------------------------------------------------------------
     def _embed_fn(self):
+        # TPU f32 matmuls default to single-pass bf16 (~8e-4 embedding error,
+        # violating the 1e-4 parity bar); 'high' (bf16_3x) is ~3e-6 at ~1.4x
+        # cost. Training keeps the fast default; extraction is precise.
+        precision = self.test_opts.get("matmul_precision", "high")
+
         @jax.jit
         def embed(params, batch_stats, pcm, feat_lengths):
-            feats = F.extract_features(pcm, self.eval_feat_cfg)
-            if self.feat_cfg.normalize:
-                feats = masked_cmvn(feats, feat_lengths)
-            if self.feat_cfg.delta:
-                feats = F.add_deltas(feats, order=2)
-            xv, x_a = self.model.apply(
-                {"params": params["model"], "batch_stats": batch_stats["model"]},
-                feats,
-                lengths=feat_lengths,
-                method=self.model.extract_embedding,
-            )
-            if self.loss_name == "CrossEntropy":
-                # CE systems embed with the fc1 pre-activation (train_audio.py:316-317)
-                return x_a
-            # margin systems embed with normalized fc2 (train_audio.py:318-320)
-            return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
+            with jax.default_matmul_precision(precision):
+                feats = F.extract_features(pcm, self.eval_feat_cfg)
+                if self.feat_cfg.normalize:
+                    feats = masked_cmvn(feats, feat_lengths)
+                if self.feat_cfg.delta:
+                    feats = F.add_deltas(feats, order=2)
+                xv, x_a = self.model.apply(
+                    {"params": params["model"], "batch_stats": batch_stats["model"]},
+                    feats,
+                    lengths=feat_lengths,
+                    method=self.model.extract_embedding,
+                )
+                if self.loss_name == "CrossEntropy":
+                    # CE embeds with the fc1 pre-activation (train_audio.py:316-317)
+                    return x_a
+                # margin systems embed with normalized fc2 (train_audio.py:318-320)
+                return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
 
         return embed
 

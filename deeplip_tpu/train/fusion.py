@@ -283,17 +283,18 @@ class FusionTrainer:
 
             @jax.jit
             def run(params, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes):
-                feats = F.extract_features(pcm, self.raw_feat_cfg)
-                if self.feat_cfg.normalize:
-                    feats = masked_cmvn(feats, feat_lengths)
-                xv, _ = self.audio_model.apply(
-                    self.audio_vars, feats, lengths=feat_lengths,
-                    method=self.audio_model.extract_embedding,
-                )
-                em = self._video_group_embed(clips_u8, clip_lengths, group_sizes)
-                if use_fusion_head:
-                    return self.fusion_head.apply({"params": params["fusion"]}, xv, em)
-                return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
+                with jax.default_matmul_precision("high"):
+                    feats = F.extract_features(pcm, self.raw_feat_cfg)
+                    if self.feat_cfg.normalize:
+                        feats = masked_cmvn(feats, feat_lengths)
+                    xv, _ = self.audio_model.apply(
+                        self.audio_vars, feats, lengths=feat_lengths,
+                        method=self.audio_model.extract_embedding,
+                    )
+                    em = self._video_group_embed(clips_u8, clip_lengths, group_sizes)
+                    if use_fusion_head:
+                        return self.fusion_head.apply({"params": params["fusion"]}, xv, em)
+                    return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
 
             self._extract_fns[use_fusion_head] = run
         return np.asarray(

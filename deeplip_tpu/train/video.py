@@ -184,12 +184,13 @@ class VideoTrainer:
     def _extract_fn(self):
         @jax.jit
         def extract(params, batch_stats, clips_u8, lengths):
-            x = V.eval_transform(clips_u8, self.crop_size)[..., None]
-            feats = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x,
-                method=self.model.frame_features,
-            )
+            with jax.default_matmul_precision("high"):
+                x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+                feats = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x,
+                    method=self.model.frame_features,
+                )
             return feats  # (B, T, backend_out)
 
         return extract
