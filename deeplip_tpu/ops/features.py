@@ -240,13 +240,24 @@ def add_deltas(feat: jnp.ndarray, order: int = 2) -> jnp.ndarray:
     raise ValueError("delta order must be 1 or 2")
 
 
-def extract_features(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def extract_features(
+    signal: jnp.ndarray, cfg: FeatureConfig, backend: str = "xla"
+) -> jnp.ndarray:
     """Full front-end dispatch matching ``_extract_feature`` semantics
     (``datasets.py:65-83``): feature → optional CMVN → optional Δ/ΔΔ.
 
     Input ``(..., S)`` float PCM; output ``(..., T, D)`` time-major features.
+    ``backend='pallas'`` routes the mel front-ends through the fused VMEM
+    kernel (``ops.pallas.fbank_kernel``); 'xla' is the default matmul path.
     """
-    if cfg.feat_type == "mfcc":
+    if backend == "pallas" and cfg.feat_type in ("mfcc", "fbank", "logfbank"):
+        from deeplip_tpu.ops.pallas.fbank_kernel import pallas_audio_features
+
+        squeeze = signal.ndim == 1
+        feat = pallas_audio_features(signal[None] if squeeze else signal, cfg)
+        if squeeze:
+            feat = feat[0]
+    elif cfg.feat_type == "mfcc":
         feat = mfcc(signal, cfg)
     elif cfg.feat_type == "fbank":
         feat = fbank(signal, cfg)

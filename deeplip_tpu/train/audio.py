@@ -79,6 +79,10 @@ class AudioTrainer:
         import dataclasses as _dc
 
         self.eval_feat_cfg = _dc.replace(self.feat_cfg, normalize=False, delta=False)
+        # 'xla' (default) or 'pallas' (fused VMEM kernel) front-end
+        self.feature_backend = self.data_opts.get("python_data_config", {}).get(
+            "backend", "xla"
+        )
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
@@ -190,7 +194,7 @@ class AudioTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, pcm, labels, margin):
-        feats = F.extract_features(pcm, self.feat_cfg)
+        feats = F.extract_features(pcm, self.feat_cfg, backend=self.feature_backend)
 
         def loss_fn(params):
             emb, updates = self.model.apply(
@@ -320,7 +324,9 @@ class AudioTrainer:
         @jax.jit
         def embed(params, batch_stats, pcm, feat_lengths):
             with jax.default_matmul_precision(precision):
-                feats = F.extract_features(pcm, self.eval_feat_cfg)
+                feats = F.extract_features(
+                    pcm, self.eval_feat_cfg, backend=self.feature_backend
+                )
                 if self.feat_cfg.normalize:
                     feats = masked_cmvn(feats, feat_lengths)
                 if self.feat_cfg.delta:

@@ -1,0 +1,79 @@
+"""Data-prep script, feature backend dispatch, schedules, misc coverage."""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.synthetic import make_audio_corpus
+from deeplip_tpu.ops import features as F
+from deeplip_tpu.train.schedules import cosine_annealing_schedule, multistep_schedule
+
+
+def test_prepare_audio_script(tmp_path):
+    root = str(tmp_path / "wav")
+    make_audio_corpus(root, n_spk=2, utts_per_spk=2, duration=0.5)
+    # remove the generated manifest; the script must rebuild one
+    os.remove(os.path.join(root, "manifest.csv"))
+    out = str(tmp_path / "m.csv")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    res = subprocess.run(
+        [sys.executable, "scripts/prepare_data.py", "audio", "--root", root, "--out", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
+    m = SpeakerManifest.load(out)
+    assert m.n_spk == 2 and m.n_utts == 4
+
+
+def test_feature_backend_pallas_dispatch():
+    """backend='pallas' must agree with the default path (interpret-safe on
+    CPU because the Pallas call compiles through the CPU interpreter? No —
+    only interpret mode runs on CPU, so just check the xla backend remains
+    default and pallas dispatch exists and is callable in interpret mode."""
+    cfg = F.FeatureConfig(feat_type="mfcc", normalize=True)
+    sig = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8000)), jnp.float32)
+    base = F.extract_features(sig, cfg, backend="xla")
+    from deeplip_tpu.ops.pallas.fbank_kernel import pallas_audio_features
+
+    raw = F.FeatureConfig(feat_type="mfcc", normalize=False)
+    via_kernel = pallas_audio_features(sig, raw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(F.cmvn(via_kernel)), np.asarray(base), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_multistep_schedule_boundaries():
+    sched = multistep_schedule(0.1, [2, 4], 0.1, steps_per_epoch=10)
+    assert abs(float(sched(0)) - 0.1) < 1e-6
+    assert abs(float(sched(19)) - 0.1) < 1e-6
+    assert abs(float(sched(20)) - 0.01) < 1e-6
+    assert abs(float(sched(40)) - 0.001) < 1e-6
+
+
+def test_cosine_schedule_matches_torch_formula():
+    sched = cosine_annealing_schedule(3e-4, t_max=5)
+    assert abs(float(sched(0)) - 3e-4) < 1e-6
+    assert float(sched(5)) < 1e-6  # trough at T_max
+    mid = float(sched(2.5))
+    assert abs(mid - 1.5e-4) < 1e-6
+
+
+def test_config_flatten_reference_semantics():
+    from deeplip_tpu.core.config import Config
+
+    cfg = Config(
+        {
+            "feat_type": "mfcc",
+            "mfcc": {"num_cep": 24},
+            "fbank": {"num_bin": 40},
+            "rate": 16000,
+        }
+    )
+    flat = cfg.flatten()
+    assert flat["num_cep"] == 24          # selected subsection hoisted
+    assert "num_bin" not in flat          # unselected subsection dropped
+    assert flat["rate"] == 16000
