@@ -215,6 +215,29 @@ class VideoTrainer:
                     np.savez(path, data=out[name][None])  # (1, T, 512) parity
         return out
 
+    def embedding_store(self, batches: VideoClipBatches, name_map=None):
+        """Utterance-level video embeddings: time-mean of per-clip features,
+        averaged over each utterance's clip group (the consumption pattern of
+        the fusion/score back-ends, ``train_fusion.py:274-275``).
+
+        ``name_map`` maps clip name -> utterance name (grouping key);
+        defaults to the clip name itself (one clip per utterance).
+        Returns an :class:`deeplip_tpu.eval.scoring.EmbeddingStore`.
+        """
+        from collections import defaultdict
+
+        from deeplip_tpu.eval.scoring import EmbeddingStore
+
+        feats = self.extract_clip_features(batches)
+        groups: dict[str, list[np.ndarray]] = defaultdict(list)
+        for clip_name, arr in feats.items():
+            utt = name_map(clip_name) if name_map else clip_name
+            groups[utt].append(arr.mean(axis=0))
+        store = EmbeddingStore()
+        for utt, vecs in groups.items():
+            store[utt] = np.mean(vecs, axis=0)
+        return store
+
     def classify_logits(self, clips_u8, lengths):
         """Eval-mode logits for a uint8 batch (for tests/accuracy eval)."""
         state = self.ensure_state()
