@@ -40,6 +40,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat driver runs skip recompilation
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
     from deeplip_tpu.models.tdnn import SpeakerEmbNet

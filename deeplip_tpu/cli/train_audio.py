@@ -25,7 +25,13 @@ from deeplip_tpu.cli.common import labels_from_speaker_prefix, utterances_from_t
 from deeplip_tpu.core.config import load_audio_config
 from deeplip_tpu.data.audio_pipeline import EvalUtteranceSet
 from deeplip_tpu.eval.plda import PLDA, plda_eer
-from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer, feature_fusion_eer
+from deeplip_tpu.eval.scoring import (
+    EmbeddingStore,
+    TrialList,
+    cosine_eer,
+    feature_fusion_eer,
+    score_fusion_eer,
+)
 from deeplip_tpu.train.audio import AudioTrainer
 
 
@@ -101,7 +107,10 @@ def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
         return
 
     if mode == "av_fusion":
-        # feature-level fusion from stored audio + video embeddings
+        # training-free fusion from stored audio + video embeddings:
+        # feature-level (z-norm+concat, the reference's live path) or
+        # score-level 0.5/0.5 via test.fusion_type
+        fusion_type = test.get("fusion_type", "feature")
         for list_name, trial_key, tag in (
             ("eval_lomgrid", "trial_lomgrid", "test_xv_lomgrid"),
             ("eval_grid", "trial_grid", "test_xv_grid"),
@@ -116,8 +125,15 @@ def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
                 data.get("video_embedding_root", os.path.join(trainer.exp_dir, "video_em")),
                 trial.unique_utts,
             )
-            eer, _ = feature_fusion_eer(trial, audio_store, video_store)
-            print(f"[{trial_key}] feature-fusion EER: {eer * 100:.6f}%")
+            if fusion_type == "score":
+                eer, _ = score_fusion_eer(
+                    trial, audio_store, video_store,
+                    audio_weight=float(test.get("audio_weight", 0.5)),
+                    video_weight=float(test.get("video_weight", 0.5)),
+                )
+            else:
+                eer, _ = feature_fusion_eer(trial, audio_store, video_store)
+            print(f"[{trial_key}] {fusion_type}-fusion EER: {eer * 100:.6f}%")
         return
 
     raise SystemExit(f"unknown mode {mode!r}")

@@ -50,8 +50,8 @@ from deeplip_tpu.ops.framing import num_frames, preemphasis
 @lru_cache(maxsize=None)
 def _dft_row_blocks(frame_len: int, frame_step: int, n_fft: int, h_pad: int):
     """cos/sin bases as (k·h_pad, n_bins) stacked blocks: block i holds basis
-    rows [i·h, i·h+h) zero-padded to h_pad (the lane-aligned hop), matching
-    the kernel's lane-concat of the k shifted windows."""
+    rows [i·h, i·h+h) zero-padded to h_pad (the lane-aligned hop); the kernel
+    slices block i with ``pl.ds(i*h_pad, h_pad)``."""
     cos_m, sin_m = spectral.rdft_matrices(frame_len, n_fft)
     k = math.ceil(frame_len / frame_step)
     n_bins = n_fft // 2 + 1
