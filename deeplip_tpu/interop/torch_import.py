@@ -97,3 +97,76 @@ def load_reference_audio_checkpoint(path: str, n_blocks: int) -> tuple[dict, dic
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt)
     return import_speaker_embnet_state_dict(state_dict, n_blocks)
+
+
+# ---------------------------------------------------------------------------
+# video (Lipreading) import: frontend3D + ResNet trunk
+# ---------------------------------------------------------------------------
+
+def import_lipreading_state_dict(
+    state_dict: Mapping[str, Any], layers: tuple[int, ...] = (2, 2, 2, 2)
+) -> tuple[dict, dict]:
+    """Reference ``Lipreading`` weights -> our frame-feature path params.
+
+    Covers the ``extract_feats`` path (frontend3D + per-frame trunk,
+    ``models/video_models/model.py:96-104``) — the part consumed by fusion
+    training and clip-embedding extraction. Reference layout:
+
+        frontend3D.0.weight            Conv3d OIDHW -> flax DHWIO
+        frontend3D.1.*                 BatchNorm3d
+        frontend3D.2.weight            PReLU (per-channel)
+        trunk.layer{1..4}.{i}.conv1/bn1/relu1/conv2/bn2/relu2
+        trunk.layer{s}.0.downsample.{0,1}   1x1 conv + BN
+
+    Returns ``(params, batch_stats)`` for
+    :class:`deeplip_tpu.models.lipreading.Lipreading` (TCN/classifier keys
+    are left at their initialized values and must be merged by the caller).
+    """
+    sd = _clean_state_dict(state_dict)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def bn(prefix: str):
+        return (
+            {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+            {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]},
+        )
+
+    params["frontend_conv"] = {
+        "kernel": np.transpose(sd["frontend3D.0.weight"], (2, 3, 4, 1, 0))
+    }
+    p, s = bn("frontend3D.1")
+    params["frontend_bn"] = p
+    stats["frontend_bn"] = s
+    if "frontend3D.2.weight" in sd:
+        params["frontend_prelu"] = {"alpha": sd["frontend3D.2.weight"]}
+
+    trunk_p: dict[str, Any] = {}
+    trunk_s: dict[str, Any] = {}
+    for stage, n in enumerate(layers, start=1):
+        for i in range(n):
+            ref = f"trunk.layer{stage}.{i}"
+            name = f"layer{stage}_block{i}"
+            bp: dict[str, Any] = {}
+            bs: dict[str, Any] = {}
+            for conv, bnn in (("conv1", "bn1"), ("conv2", "bn2")):
+                bp[conv] = {"kernel": np.transpose(sd[f"{ref}.{conv}.weight"], (2, 3, 1, 0))}
+                p, s = bn(f"{ref}.{bnn}")
+                bp[bnn] = p
+                bs[bnn] = s
+            for relu, alias in (("relu1", "relu1"), ("relu2", "relu2")):
+                key = f"{ref}.{relu}.weight"
+                if key in sd:  # PReLU
+                    bp[alias] = {"alpha": sd[key]}
+            if f"{ref}.downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": np.transpose(sd[f"{ref}.downsample.0.weight"], (2, 3, 1, 0))
+                }
+                p, s = bn(f"{ref}.downsample.1")
+                bp["down_bn"] = p
+                bs["down_bn"] = s
+            trunk_p[name] = bp
+            trunk_s[name] = bs
+    params["trunk"] = trunk_p
+    stats["trunk"] = trunk_s
+    return params, stats
