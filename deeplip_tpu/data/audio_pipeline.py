@@ -140,28 +140,63 @@ class EvalUtteranceSet:
             y = resample(y, sr, self.rate)
         return utt.name, y.astype(np.float32)
 
+    def _utt_samples(self, utt: EvalUtterance) -> tuple[EvalUtterance, int]:
+        """Sample count after resampling — header-only read, no PCM decode."""
+        from deeplip_tpu import native
+
+        if self.reader is read_wav and native.available():
+            rate, _, n = native.wav_info(utt.path)
+        else:
+            import wave
+
+            try:
+                with wave.open(utt.path, "rb") as w:
+                    rate, n = w.getframerate(), w.getnframes()
+            except Exception:
+                y, rate = self.reader(utt.path)
+                n = len(y)
+        if rate != self.rate:
+            n = int(n * self.rate / rate)
+        return utt, n
+
+    def _assemble(self, chunk: list[tuple[EvalUtterance, int, int]]) -> dict:
+        bucket_t = chunk[0][2]
+        s_max = samples_for_frames(bucket_t, self.win_len, self.win_shift, self.rate)
+        pcm = np.zeros((len(chunk), s_max), np.float32)
+        lengths = np.zeros((len(chunk),), np.int32)
+        names = []
+        for row, (utt, t, _) in enumerate(chunk):
+            _, y = self._load(utt)
+            pcm[row, : min(len(y), s_max)] = y[:s_max]
+            lengths[row] = t
+            names.append(utt.name)
+        return {"names": names, "pcm": pcm, "feat_lengths": lengths}
+
     def batches(self) -> Iterator[dict]:
-        """Yields ``{names, pcm (B, S), feat_lengths (B,)}`` per bucket chunk."""
-        loaded = list(
-            ThreadedPrefetcher(self.utts, self._load, num_workers=self.num_workers)
+        """Yields ``{names, pcm (B, S), feat_lengths (B,)}`` per bucket chunk.
+
+        Two-phase streaming: a cheap header scan buckets utterances by
+        feature length, then batches are decoded on demand by prefetch
+        threads — memory stays O(batch), not O(corpus) (the GRID sweep is
+        25.8k utterances ≈ 7 GB of PCM).
+        """
+        sized = list(
+            ThreadedPrefetcher(self.utts, self._utt_samples, num_workers=self.num_workers)
         )
         items = []
-        for name, y in loaded:
-            t = num_frames(len(y), self.frame_len, self.frame_step)
+        for utt, n in sized:
+            t = num_frames(n, self.frame_len, self.frame_step)
             bucket_t = -(-t // self.bucket_frames) * self.bucket_frames
-            items.append((bucket_t, t, name, y))
-        items.sort(key=lambda it: (it[0], it[2]))
+            items.append((utt, t, bucket_t))
+        items.sort(key=lambda it: (it[2], it[0].name))
+        chunks: list[list] = []
         i = 0
         while i < len(items):
-            bucket_t = items[i][0]
-            chunk = [it for it in items[i : i + self.batch_size] if it[0] == bucket_t]
+            bucket_t = items[i][2]
+            chunk = [it for it in items[i : i + self.batch_size] if it[2] == bucket_t]
             i += len(chunk)
-            s_max = samples_for_frames(bucket_t, self.win_len, self.win_shift, self.rate)
-            pcm = np.zeros((len(chunk), s_max), np.float32)
-            lengths = np.zeros((len(chunk),), np.int32)
-            names = []
-            for row, (_, t, name, y) in enumerate(chunk):
-                pcm[row, : len(y)] = y[:s_max]
-                lengths[row] = t
-                names.append(name)
-            yield {"names": names, "pcm": pcm, "feat_lengths": lengths}
+            chunks.append(chunk)
+        yield from ThreadedPrefetcher(
+            [(c,) for c in chunks], self._assemble, num_workers=self.num_workers,
+            lookahead=4,
+        )
