@@ -169,4 +169,99 @@ def import_lipreading_state_dict(
             trunk_s[name] = bs
     params["trunk"] = trunk_p
     stats["trunk"] = trunk_s
+
+    tcn_p, tcn_s = _import_tcn(sd)
+    if tcn_p:
+        params["tcn"] = tcn_p
+        stats["tcn"] = tcn_s
+    if "tcn.tcn_output.weight" in sd:
+        params["tcn_output"] = {
+            "kernel": sd["tcn.tcn_output.weight"].T,
+            "bias": sd["tcn.tcn_output.bias"],
+        }
     return params, stats
+
+
+def _import_tcn(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
+    """TCN head weights (multibranch ``tcn.mb_ms_tcn.network.*`` or
+    single-branch ``tcn.tcn_trunk.network.*``) -> our TCN param tree.
+
+    The reference's pad-then-chomp convs and our centered SAME convs share
+    identical weight layouts (see ``models/tcn.py``), so Conv1d OIK maps to
+    KIO directly. Covers ConvBatchChompRelu (conv/batchnorm/non_lin) for the
+    multibranch path and TemporalBlock (convN/batchnormN/reluN) for the
+    single-branch path, plus downsample and final PReLU.
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def conv1d(prefix):
+        out = {"kernel": np.transpose(sd[f"{prefix}.weight"], (2, 1, 0))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+            {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]},
+        )
+
+    # ---- multibranch: tcn.mb_ms_tcn.network.{L}.cbcr{0,1}_{k} ----------
+    level = 0
+    while f"tcn.mb_ms_tcn.network.{level}.cbcr0_0.conv.weight" in sd:
+        ref = f"tcn.mb_ms_tcn.network.{level}"
+        bp: dict[str, Any] = {}
+        bs: dict[str, Any] = {}
+        for layer in (0, 1):
+            k_idx = 0
+            while f"{ref}.cbcr{layer}_{k_idx}.conv.weight" in sd:
+                cref = f"{ref}.cbcr{layer}_{k_idx}"
+                cp: dict[str, Any] = {"conv": conv1d(f"{cref}.conv")}
+                p, s = bn(f"{cref}.batchnorm")
+                cp["bn"] = p
+                if f"{cref}.non_lin.weight" in sd:
+                    cp["act"] = {"alpha": sd[f"{cref}.non_lin.weight"]}
+                bp[f"cbcr{layer}_{k_idx}"] = cp
+                bs[f"cbcr{layer}_{k_idx}"] = {"bn": s}
+                k_idx += 1
+        if f"{ref}.downsample.weight" in sd:
+            bp["downsample"] = conv1d(f"{ref}.downsample")
+        if f"{ref}.relu_final.weight" in sd:
+            bp["relu_final"] = {"alpha": sd[f"{ref}.relu_final.weight"]}
+        params[f"block{level}"] = bp
+        stats[f"block{level}"] = bs
+        level += 1
+
+    # ---- single-branch: tcn.tcn_trunk.network.{L}.conv{1,2} ------------
+    level = 0
+    while f"tcn.tcn_trunk.network.{level}.conv1.weight" in sd:
+        ref = f"tcn.tcn_trunk.network.{level}"
+        bp = {}
+        bs = {}
+        for i in (1, 2):
+            cp = {"conv": conv1d(f"{ref}.conv{i}")}
+            p, s = bn(f"{ref}.batchnorm{i}")
+            cp["bn"] = p
+            if f"{ref}.relu{i}.weight" in sd:
+                cp["act"] = {"alpha": sd[f"{ref}.relu{i}.weight"]}
+            bp[f"conv{i}"] = cp
+            bs[f"conv{i}"] = {"bn": s}
+        if f"{ref}.downsample.weight" in sd:
+            bp["downsample"] = conv1d(f"{ref}.downsample")
+        if f"{ref}.relu.weight" in sd:
+            bp["relu"] = {"alpha": sd[f"{ref}.relu.weight"]}
+        params[f"block{level}"] = bp
+        stats[f"block{level}"] = bs
+        level += 1
+
+    return params, stats
+
+
+def load_reference_video_checkpoint(path: str, layers=(2, 2, 2, 2)) -> tuple[dict, dict]:
+    """torch.load a reference video ``state_dict`` file and convert."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    return import_lipreading_state_dict(state_dict, layers)
