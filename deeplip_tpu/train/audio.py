@@ -88,12 +88,30 @@ class AudioTrainer:
         self.n_devices = int(np.prod(self.mesh.devices.shape))
 
         self.manifest = None
-        if self.data_opts.get("train_manifest") and os.path.exists(
+        self.data_format = self.data_opts.get("data_format", "python")
+        self._kaldi_pipeline = None
+        if self.data_format == "kaldi":
+            # precomputed-feature training (≙ train_audio.py:42-45; the
+            # reference's KaldiTrainDataset module is absent from its release)
+            kcfg = self.data_opts.get("kaldi_data_config", {}).get("trainset", {})
+            if kcfg.get("nn_spk2utt") and os.path.exists(str(kcfg["nn_spk2utt"])):
+                from deeplip_tpu.data.kaldi_dataset import KaldiTrainPipeline
+
+                self._kaldi_pipeline = KaldiTrainPipeline(
+                    kcfg["nn_spk2utt"],
+                    kcfg["nn_feat_scp"],
+                    int(self.train_opts.get("bs", 256)),
+                    frame_range=tuple(self.data_opts.get("frames", (200, 400))),
+                    n_buckets=int(self.train_opts.get("frame_buckets", 11)),
+                )
+        elif self.data_opts.get("train_manifest") and os.path.exists(
             self.data_opts["train_manifest"]
         ):
             self.manifest = SpeakerManifest.load(self.data_opts["train_manifest"])
         self.n_spk = n_spk if n_spk is not None else (
-            self.manifest.n_spk if self.manifest else 0
+            self.manifest.n_spk
+            if self.manifest
+            else (self._kaldi_pipeline.n_spk if self._kaldi_pipeline else 0)
         )
 
         arch = self.model_opts.get("arch", "etdnn")
@@ -117,7 +135,7 @@ class AudioTrainer:
 
         self.batch_size = int(self.train_opts.get("bs", 256))
         self.epochs = int(self.train_opts.get("epoch", 30))
-        self.pipeline = None
+        self.pipeline = self._kaldi_pipeline
         if self.manifest is not None:
             self.pipeline = AudioTrainPipeline(
                 self.manifest,
@@ -195,7 +213,14 @@ class AudioTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, pcm, labels, margin):
         feats = F.extract_features(pcm, self.feat_cfg, backend=self.feature_backend)
+        return self._step_on_features(state, feats, labels, margin)
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_feats(self, state: TrainState, feats, labels, margin):
+        """Train step for precomputed (Kaldi-format) features."""
+        return self._step_on_features(state, feats, labels, margin)
+
+    def _step_on_features(self, state: TrainState, feats, labels, margin):
         def loss_fn(params):
             emb, updates = self.model.apply(
                 {"params": params["model"], "batch_stats": state.batch_stats["model"]},
@@ -224,9 +249,17 @@ class AudioTrainer:
         """Margin schedule ≙ ``_adjust_margin`` (``train_audio.py:141-145``)."""
         return self.init_margin if epoch <= 5 else self.end_margin
 
-    def train(self, epochs: int | None = None) -> TrainState:
+    def train(self, epochs: int | None = None, auto_resume: bool = False) -> TrainState:
+        """Run the epoch loop. ``auto_resume`` restarts from the newest
+        ``net_<epoch>`` in the exp dir if one exists (crash recovery — the
+        reference has no equivalent; its resume needs a hand-edited config).
+        """
         if self.pipeline is None:
             raise RuntimeError("no train manifest configured")
+        if auto_resume:
+            latest = ckpt.latest_checkpoint(self.exp_dir)
+            if latest is not None and latest > self.current_epoch:
+                self.load(os.path.join(self.exp_dir, f"net_{latest}"))
         state = self.ensure_state()
         os.makedirs(self.exp_dir, exist_ok=True)
         logger = StepLogger(self.exp_dir, print_every=int(self.train_opts.get("log_every", 20)))
@@ -235,13 +268,18 @@ class AudioTrainer:
         in_shard = data_sharding(self.mesh, ndim=2)
         lab_shard = data_sharding(self.mesh, ndim=1)
         step = int(state.step)
+        feats_shard = data_sharding(self.mesh, ndim=3)
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
             margin = jnp.float32(self._margin_for_epoch(epoch))
             for batch in self.pipeline.epoch(epoch):
-                pcm = jax.device_put(batch["pcm"], in_shard)
                 labels = jax.device_put(batch["labels"], lab_shard)
-                state, metrics = self._train_step(state, pcm, labels, margin)
+                if "feats" in batch:  # kaldi-format precomputed features
+                    feats = jax.device_put(batch["feats"], feats_shard)
+                    state, metrics = self._train_step_feats(state, feats, labels, margin)
+                else:
+                    pcm = jax.device_put(batch["pcm"], in_shard)
+                    state, metrics = self._train_step(state, pcm, labels, margin)
                 step += 1
                 loss = float(metrics["loss"])
                 guard.check(loss)

@@ -1,0 +1,80 @@
+"""Kaldi-format training path: ark/scp features -> speaker-balanced steps."""
+
+import os
+
+import numpy as np
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import make_mesh
+from deeplip_tpu.interop.kaldi import write_ark_scp
+from deeplip_tpu.train.audio import AudioTrainer
+
+
+def _make_kaldi_corpus(tmp_path, n_spk=3, utts=3, dim=24):
+    rng = np.random.default_rng(0)
+    utt2feat = {}
+    spk2utt_lines = []
+    for s in range(n_spk):
+        names = []
+        for u in range(utts):
+            name = f"spk{s}_utt{u}"
+            t = rng.integers(80, 140)
+            # speaker-colored features
+            utt2feat[name] = (
+                rng.standard_normal((t, dim)) + 2.0 * np.sin(np.arange(dim) * (s + 1))
+            ).astype(np.float32)
+            names.append(name)
+        spk2utt_lines.append(f"spk{s} " + " ".join(names))
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    write_ark_scp(utt2feat, ark, scp)
+    spk2utt = str(tmp_path / "spk2utt")
+    open(spk2utt, "w").write("\n".join(spk2utt_lines) + "\n")
+    return spk2utt, scp
+
+
+def test_kaldi_train_pipeline_and_steps(tmp_path):
+    spk2utt, scp = _make_kaldi_corpus(tmp_path)
+    cfg = Config(
+        {
+            "data": {
+                "frames": [40, 60],
+                "data_format": "kaldi",
+                "kaldi_data_config": {
+                    "trainset": {"nn_spk2utt": spk2utt, "nn_feat_scp": scp}
+                },
+                "python_data_config": {
+                    "rate": 16000,
+                    "feat_type": "mfcc",
+                    "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                             "energy": True, "normalize": True, "delta": False,
+                             "win_len": 0.025, "win_shift": 0.01},
+                },
+            },
+            "model": {
+                "arch": "tdnn",
+                "tdnn": {
+                    "input_dim": 24, "hidden_dim": [32, 32, 64],
+                    "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]],
+                    "tdnn_layers": 3, "embedding_dim": 16,
+                    "pooling": "statistic", "attention_hidden_size": 8,
+                    "bn_first": True,
+                },
+            },
+            "train": {
+                "type": "sgd", "bs": 8, "lr_decay": 0.1, "lr_decay_step": [50],
+                "epoch": 1, "loss": "LMCL", "scale": 30, "margin": [0.2, 0.2],
+                "frame_buckets": 2, "log_every": 0,
+                "sgd": {"init_lr": 0.05, "weight_decay": 0, "momentum": 0.9},
+            },
+            "test": {},
+        }
+    )
+    trainer = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "exp"),
+                           log_time="k0")
+    assert trainer.n_spk == 3
+    assert trainer.pipeline is trainer._kaldi_pipeline
+    state = trainer.train(epochs=1)
+    assert os.path.isdir(os.path.join(trainer.exp_dir, "net_1"))
+    records = open(os.path.join(trainer.exp_dir, "train_metrics.jsonl")).readlines()
+    assert len(records) >= 1
