@@ -112,6 +112,22 @@ class EmbeddingStore:
             store[utt] = np.load(os.path.join(root, utt.replace(".wav", "") + ".npy"))
         return store
 
+    # ---- Kaldi x-vector interop (≙ transform_{to,from}_kaldi_xv,
+    # train_audio.py:443-471) -------------------------------------------
+    def save_kaldi(self, ark_path: str, scp_path: str | None = None) -> None:
+        from deeplip_tpu.interop.kaldi import write_ark_scp
+
+        write_ark_scp(self.table, ark_path, scp_path)
+
+    @classmethod
+    def load_kaldi(cls, scp_path: str) -> "EmbeddingStore":
+        from deeplip_tpu.interop.kaldi import read_scp
+
+        store = cls()
+        for utt, vec in read_scp(scp_path):
+            store[utt] = vec
+        return store
+
 
 @partial(jax.jit, static_argnames=("normalize",))
 def cosine_scores(

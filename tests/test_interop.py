@@ -124,3 +124,17 @@ def test_torch_import_embedding_parity():
         method=model.extract_embedding,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_embedding_store_kaldi_roundtrip(tmp_path):
+    from deeplip_tpu.eval.scoring import EmbeddingStore
+
+    rng = np.random.default_rng(5)
+    store = EmbeddingStore()
+    for i in range(3):
+        store[f"s01/u{i}.wav"] = rng.standard_normal(32).astype(np.float32)
+    ark, scp = str(tmp_path / "xv.ark"), str(tmp_path / "xv.scp")
+    store.save_kaldi(ark, scp)
+    loaded = EmbeddingStore.load_kaldi(scp)
+    for k in store.table:
+        np.testing.assert_array_equal(loaded[k], store[k])
