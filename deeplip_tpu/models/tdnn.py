@@ -51,11 +51,16 @@ def context_to_kernel(context: Sequence[int]) -> tuple[int, int]:
 
 
 class TDNNBlock(nn.Module):
-    """Dilated Conv1d -> BN -> LeakyReLU(0.2) (order per ``bn_first``)."""
+    """Dilated Conv1d -> BN -> LeakyReLU(0.2) (order per ``bn_first``).
+
+    ``dtype`` is the compute dtype (params stay float32): bf16 halves the
+    activation HBM traffic for training; eval paths keep float32.
+    """
 
     features: int
     context: tuple[int, ...]
     bn_first: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,10 +70,12 @@ class TDNNBlock(nn.Module):
             kernel_size=(kernel_size,),
             kernel_dilation=(dilation,),
             padding="VALID",
+            dtype=self.dtype,
             name="conv",
         )(x)
         bn = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
         )
         act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
         if self.bn_first:
@@ -105,6 +112,7 @@ class SpeakerEmbNet(nn.Module):
     pooling: str = "statistic"
     attention_hidden_size: int = 64
     bn_first: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, model_opts: Mapping[str, Any]) -> "SpeakerEmbNet":
@@ -135,7 +143,7 @@ class SpeakerEmbNet(nn.Module):
 
     def setup(self):
         self.blocks = [
-            TDNNBlock(f, ctx, self.bn_first, name=f"tdnn_{i}")
+            TDNNBlock(f, ctx, self.bn_first, dtype=self.dtype, name=f"tdnn_{i}")
             for i, (f, ctx) in enumerate(zip(self.hidden_dims, self.contexts))
         ]
         self.pool = _pooling_from_name(self.pooling, self.attention_hidden_size)
@@ -151,8 +159,12 @@ class SpeakerEmbNet(nn.Module):
         self, x: jnp.ndarray, train: bool = False, lengths=None
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """``(B, T, D) -> (xv, x_a)``: LMCL / CrossEntropy embedding taps."""
+        x = x.astype(self.dtype)
         for blk in self.blocks:
             x = blk(x, train=train)
+        # statistics pooling and the FC head stay float32 (std of bf16
+        # activations loses too much precision)
+        x = x.astype(jnp.float32)
         pooled_lengths = None if lengths is None else self.valid_lengths(lengths)
         x = self.pool(x, lengths=pooled_lengths)
         x_a = self.fc1(x)

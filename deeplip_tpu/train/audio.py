@@ -123,6 +123,13 @@ class AudioTrainer:
             self.model = AudioResNet.from_config(self.model_opts)
         else:
             raise NotImplementedError(f"audio arch {arch!r}")
+        # bf16 compute for training halves activation HBM traffic; params
+        # and the eval path stay float32 (parity). conf: train.compute_dtype
+        compute_dtype = str(self.train_opts.get("compute_dtype", "float32"))
+        if compute_dtype in ("bf16", "bfloat16") and hasattr(self.model, "dtype"):
+            self.train_model = self.model.clone(dtype=jnp.bfloat16)
+        else:
+            self.train_model = self.model
         margin_range = self.train_opts.get("margin", [0.2, 0.2])
         self.init_margin, self.end_margin = float(margin_range[0]), float(margin_range[-1])
         self.loss_name = self.train_opts.get("loss", "LMCL")
@@ -222,7 +229,7 @@ class AudioTrainer:
 
     def _step_on_features(self, state: TrainState, feats, labels, margin):
         def loss_fn(params):
-            emb, updates = self.model.apply(
+            emb, updates = self.train_model.apply(
                 {"params": params["model"], "batch_stats": state.batch_stats["model"]},
                 feats,
                 train=True,
