@@ -23,8 +23,6 @@ Rebuilds ``models/video_models/tcn.py`` time-major ``(B, T, C)``:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -36,7 +36,6 @@ import optax
 
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
-from deeplip_tpu.losses.softmax import softmax_cross_entropy
 from deeplip_tpu.models.fusion import LowFER
 from deeplip_tpu.models.lipreading import Lipreading
 from deeplip_tpu.models.tdnn import SpeakerEmbNet

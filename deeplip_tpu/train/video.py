@@ -21,8 +21,6 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +36,6 @@ from deeplip_tpu.train import checkpoint as ckpt
 from deeplip_tpu.train.metrics import NanGuard, StepLogger
 from deeplip_tpu.train.schedules import cosine_annealing_schedule
 from deeplip_tpu.train.state import TrainState, torch_adam
-from deeplip_tpu.ops.masked import length_mask
 
 
 class VideoTrainer:

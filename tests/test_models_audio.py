@@ -205,3 +205,38 @@ def test_training_decreases_lmcl_loss():
         params, stats, opt_state, loss = step(params, stats, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_multihead_attentive_pooling():
+    from deeplip_tpu.models.pooling import MultiHeadAttentivePooling
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((2, 30, 32)), jnp.float32)
+    pool = MultiHeadAttentivePooling(num_heads=4, hidden_size=8)
+    variables = pool.init(jax.random.PRNGKey(0), x)
+    out = pool.apply(variables, x)
+    assert out.shape == (2, 64)  # mean ++ std
+    # masked consistency: padding must not change the result
+    xpad = jnp.concatenate([x, jnp.zeros((2, 10, 32))], axis=1)
+    got = pool.apply(variables, xpad, lengths=jnp.array([30, 30]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out), atol=1e-5)
+
+
+def test_compact_bilinear_pooling_gradients_flow():
+    import optax
+
+    from deeplip_tpu.models.fusion import CompactBilinearPooling
+
+    cbp = CompactBilinearPooling(output_dim=64)
+    rng = np.random.default_rng(11)
+    e1 = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    e2 = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    variables = cbp.init(jax.random.PRNGKey(0), e1, e2)
+
+    def loss_fn(e1):
+        out = cbp.apply(variables, e1, e2)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(e1)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
