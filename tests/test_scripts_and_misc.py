@@ -77,3 +77,48 @@ def test_config_flatten_reference_semantics():
     assert flat["num_cep"] == 24          # selected subsection hoisted
     assert "num_bin" not in flat          # unselected subsection dropped
     assert flat["rate"] == 16000
+
+
+def test_prefetcher_propagates_errors():
+    from deeplip_tpu.data.prefetch import ThreadedPrefetcher
+
+    def producer(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i * 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        list(ThreadedPrefetcher(range(6), producer, num_workers=2))
+
+
+def test_prefetcher_preserves_order():
+    import time as _time
+
+    from deeplip_tpu.data.prefetch import ThreadedPrefetcher
+
+    def producer(i):
+        _time.sleep(0.01 * ((i * 7) % 3))  # jitter completion order
+        return i
+
+    out = list(ThreadedPrefetcher(range(20), producer, num_workers=4))
+    assert out == list(range(20))
+
+
+def test_stft_feature_type_through_model():
+    """feat_type=stft (257-dim) flows through the TDNN stack."""
+    import jax
+
+    from deeplip_tpu.models.tdnn import SpeakerEmbNet
+
+    cfg = F.FeatureConfig(feat_type="stft", normalize=True)
+    assert F.feature_dim(cfg) == 257
+    sig = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8000)), jnp.float32)
+    feats = F.extract_features(sig, cfg)
+    net = SpeakerEmbNet(
+        contexts=((-2, -1, 0, 1, 2), (0,)), hidden_dims=(32, 64), embedding_dim=16
+    )
+    variables = net.init(jax.random.PRNGKey(0), feats)
+    out = net.apply(variables, feats)
+    assert out.shape == (2, 16)
