@@ -37,6 +37,7 @@ def main():
                 "type": "sgd", "bs": BATCH, "lr_decay": 0.1,
                 "lr_decay_step": [15, 25], "epoch": 30, "loss": "LMCL",
                 "scale": 30, "margin": [0.2, 0.2],
+                "compute_dtype": "bf16",  # the recommended training recipe
                 "sgd": {"init_lr": 0.01, "weight_decay": 1e-5, "momentum": 0.9},
             },
             "test": {},

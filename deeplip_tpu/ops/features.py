@@ -58,6 +58,9 @@ class FeatureConfig:
     ceplifter: int = 22
     low_freq: float = 0.0
     high_freq: float | None = None
+    # matmul precision for the DFT/mel/DCT ops: 'highest' holds the 1e-4
+    # parity bar on TPU; 'default' (bf16 passes) is ~3x cheaper for training
+    precision: str = "highest"
 
     @classmethod
     def from_config(cls, data_opts: Mapping[str, Any]) -> "FeatureConfig":
@@ -120,10 +123,10 @@ def _power_spectrum(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     cos_m, sin_m = spectral.rdft_matrices(cfg.frame_len, cfg.n_fft)
     cos_m = jnp.asarray(cos_m, dtype=frames.dtype)
     sin_m = jnp.asarray(sin_m, dtype=frames.dtype)
-    # precision='highest': TPU f32 matmuls otherwise run as bf16 MXU passes,
-    # which costs ~3 decimal digits and breaks the 1e-4 feature-parity bar.
-    re = jnp.matmul(frames, cos_m, precision="highest")
-    im = jnp.matmul(frames, sin_m, precision="highest")
+    # cfg.precision='highest' (default): TPU f32 matmuls otherwise run as
+    # bf16 MXU passes, which costs ~3 digits and breaks the 1e-4 parity bar.
+    re = jnp.matmul(frames, cos_m, precision=cfg.precision)
+    im = jnp.matmul(frames, sin_m, precision=cfg.precision)
     return (re * re + im * im) / cfg.n_fft
 
 
@@ -135,7 +138,7 @@ def _mel_energies(signal: jnp.ndarray, cfg: FeatureConfig):
         spectral.mel_filterbank(cfg.num_bin, cfg.n_fft, cfg.rate, cfg.low_freq, cfg.high_freq),
         dtype=pspec.dtype,
     )
-    feat = jnp.matmul(pspec, fb, precision="highest")
+    feat = jnp.matmul(pspec, fb, precision=cfg.precision)
     feat = jnp.where(feat == 0, _PSF_EPS, feat)
     return feat, energy
 
@@ -156,7 +159,7 @@ def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     feat, energy = _mel_energies(signal, cfg)
     logm = jnp.log(feat)
     dct = jnp.asarray(spectral.dct_matrix(cfg.num_cep, cfg.num_bin), dtype=logm.dtype)
-    cep = jnp.matmul(logm, dct, precision="highest")
+    cep = jnp.matmul(logm, dct, precision=cfg.precision)
     lift = jnp.asarray(spectral.cepstral_lifter(cfg.num_cep, cfg.ceplifter), dtype=cep.dtype)
     cep = cep * lift
     if cfg.energy:
@@ -190,8 +193,8 @@ def stft_features(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     full[off : off + win_length] = window
     frames = frames * jnp.asarray(full, dtype=frames.dtype)
     cos_m, sin_m = spectral.rdft_matrices(cfg.n_fft, cfg.n_fft)
-    re = jnp.matmul(frames, jnp.asarray(cos_m, dtype=frames.dtype), precision="highest")
-    im = jnp.matmul(frames, jnp.asarray(sin_m, dtype=frames.dtype), precision="highest")
+    re = jnp.matmul(frames, jnp.asarray(cos_m, dtype=frames.dtype), precision=cfg.precision)
+    im = jnp.matmul(frames, jnp.asarray(sin_m, dtype=frames.dtype), precision=cfg.precision)
     mag = jnp.sqrt(re * re + im * im)
     return jnp.log1p(mag)
 

@@ -126,8 +126,12 @@ class AudioTrainer:
         # bf16 compute for training halves activation HBM traffic; params
         # and the eval path stay float32 (parity). conf: train.compute_dtype
         compute_dtype = str(self.train_opts.get("compute_dtype", "float32"))
+        self.train_feat_cfg = self.feat_cfg
         if compute_dtype in ("bf16", "bfloat16") and hasattr(self.model, "dtype"):
             self.train_model = self.model.clone(dtype=jnp.bfloat16)
+            # training features drop to default (bf16-pass) matmul precision;
+            # eval extraction keeps the parity-grade front-end
+            self.train_feat_cfg = _dc.replace(self.feat_cfg, precision="default")
         else:
             self.train_model = self.model
         margin_range = self.train_opts.get("margin", [0.2, 0.2])
@@ -219,7 +223,7 @@ class AudioTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, pcm, labels, margin):
-        feats = F.extract_features(pcm, self.feat_cfg, backend=self.feature_backend)
+        feats = F.extract_features(pcm, self.train_feat_cfg, backend=self.feature_backend)
         return self._step_on_features(state, feats, labels, margin)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
