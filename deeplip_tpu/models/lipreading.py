@@ -50,6 +50,7 @@ class Lipreading(nn.Module):
     tcn_dwpw: bool = False
     tcn_width_mult: int = 1
     extract_feats: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, cfg: Mapping[str, Any], num_classes: int, extract_feats: bool = False):
@@ -83,12 +84,14 @@ class Lipreading(nn.Module):
             strides=(1, 2, 2),
             padding=[(2, 2), (3, 3), (3, 3)],
             use_bias=False,
+            dtype=self.dtype,
             name="frontend_conv",
         )
-        self.frontend_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="frontend_bn")
+        self.frontend_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                        name="frontend_bn")
         self.frontend_act = PReLU(name="frontend_prelu") if self.relu_type == "prelu" else nn.relu
         if self.backbone_type == "resnet":
-            self.trunk = ResNetTrunk(relu_type=self.relu_type, name="trunk")
+            self.trunk = ResNetTrunk(relu_type=self.relu_type, dtype=self.dtype, name="trunk")
         elif self.backbone_type == "shufflenet":
             self.trunk = ShuffleNetV2Trunk(width_mult=self.width_mult, name="trunk")
         else:
@@ -110,7 +113,7 @@ class Lipreading(nn.Module):
     def frame_features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """``(B, T, H, W, 1) -> (B, T, backend_out)`` per-frame embeddings."""
         b, t = x.shape[0], x.shape[1]
-        x = self.frontend_conv(x)
+        x = self.frontend_conv(x.astype(self.dtype))
         x = self.frontend_bn(x, use_running_average=not train)
         x = self.frontend_act(x)
         x = nn.max_pool(

@@ -25,7 +25,8 @@ class PReLU(nn.Module):
         alpha = self.param(
             "alpha", lambda k, s: jnp.full(s, self.init_alpha, jnp.float32), (x.shape[-1],)
         )
-        return jnp.where(x >= 0, x, alpha * x)
+        # keep the activation in the input's compute dtype (params stay f32)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 def _relu_layer(relu_type: str):
@@ -43,6 +44,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     relu_type: str = "prelu"
     avg_pool_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -51,15 +53,16 @@ class BasicBlock(nn.Module):
         residual = x
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="conv1",
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
         act1 = make_act("relu1")
         out = act1(out) if self.relu_type == "relu" else act1(out)
         out = nn.Conv(
-            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2"
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name="conv2"
         )(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
         if needs_down:
             if self.avg_pool_downsample:
                 residual = nn.avg_pool(
@@ -69,14 +72,15 @@ class BasicBlock(nn.Module):
                     padding=((0, 0), (0, 0)),
                     count_include_pad=False,
                 )
-                residual = nn.Conv(self.planes, (1, 1), use_bias=False, name="down_conv")(residual)
+                residual = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="down_conv")(residual)
             else:
                 residual = nn.Conv(
                     self.planes, (1, 1), strides=(self.stride, self.stride),
-                    use_bias=False, name="down_conv",
+                    use_bias=False, dtype=self.dtype, name="down_conv",
                 )(residual)
             residual = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="down_bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="down_bn"
             )(residual)
         out = out + residual
         act2 = make_act("relu2")
@@ -89,11 +93,13 @@ class ResNetTrunk(nn.Module):
     layers: tuple[int, ...] = (2, 2, 2, 2)
     relu_type: str = "prelu"
     avg_pool_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         planes = (64, 128, 256, 512)
         strides = (1, 2, 2, 2)
+        x = x.astype(self.dtype)
         for stage, (p, s, n) in enumerate(zip(planes, strides, self.layers), start=1):
             for i in range(n):
                 x = BasicBlock(
@@ -101,6 +107,8 @@ class ResNetTrunk(nn.Module):
                     stride=s if i == 0 else 1,
                     relu_type=self.relu_type,
                     avg_pool_downsample=self.avg_pool_downsample,
+                    dtype=self.dtype,
                     name=f"layer{stage}_block{i}",
                 )(x, train=train)
-        return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        # pool in float32 (bf16 mean over 22x22 loses precision)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # AdaptiveAvgPool2d(1)

@@ -52,6 +52,7 @@ class VideoTrainer:
         log_time: str | None = None,
         extract_feats: bool = False,
         hidden_dim: int = 256,
+        compute_dtype: str = "float32",
     ):
         self.model_cfg = model_cfg
         self.num_classes = num_classes
@@ -61,6 +62,11 @@ class VideoTrainer:
         self.model = Lipreading.from_config(model_cfg, num_classes, extract_feats=False)
         if hidden_dim != 256:
             self.model = self.model.clone(hidden_dim=hidden_dim)
+        # bf16 compute for the training step (params/eval stay float32)
+        if compute_dtype in ("bf16", "bfloat16"):
+            self.train_model = self.model.clone(dtype=jnp.bfloat16)
+        else:
+            self.train_model = self.model
         self.schedule = cosine_annealing_schedule(lr, t_max)
         self.tx = torch_adam(self.schedule, weight_decay=weight_decay)
         self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
@@ -92,7 +98,7 @@ class VideoTrainer:
         x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
 
         def loss_fn(params):
-            logits, updates = self.model.apply(
+            logits, updates = self.train_model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x,
                 lengths=lengths,
