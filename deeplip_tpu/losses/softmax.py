@@ -31,11 +31,15 @@ def _one_hot(labels: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
     return jax.nn.one_hot(labels, n, dtype=dtype)
 
 
-def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean softmax cross-entropy over the batch (torch ``F.cross_entropy``)."""
+def softmax_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, reduction: str = "mean"
+) -> jnp.ndarray:
+    """Softmax cross-entropy (torch ``F.cross_entropy``); ``reduction='none'``
+    returns the per-example vector (for masked reductions)."""
     logz = jax.nn.logsumexp(logits, axis=-1)
     true_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - true_logit)
+    per_example = logz - true_logit
+    return per_example if reduction == "none" else jnp.mean(per_example)
 
 
 class CrossEntropyHead(nn.Module):
@@ -44,9 +48,10 @@ class CrossEntropyHead(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray):
+    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray,
+                 reduction: str = "mean"):
         logits = nn.Dense(self.num_classes, name="fc")(embeddings)
-        return softmax_cross_entropy(logits, labels), logits
+        return softmax_cross_entropy(logits, labels, reduction), logits
 
 
 class LMCL(nn.Module):
@@ -62,7 +67,8 @@ class LMCL(nn.Module):
     l1_weight: float = 1e-5
 
     @nn.compact
-    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, margin=None):
+    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, margin=None,
+                 reduction: str = "mean"):
         d = embeddings.shape[-1]
         # kaiming-normal over (num_classes, d), matching the torch init scale
         w = self.param(
@@ -75,7 +81,7 @@ class LMCL(nn.Module):
         wn = w / jnp.linalg.norm(w, axis=-1, keepdims=True).clip(1e-12)
         logits = jnp.matmul(e, wn.T, precision="highest")
         margins = _one_hot(labels, self.num_classes, logits.dtype) * margin
-        loss = softmax_cross_entropy(self.scale * (logits - margins), labels)
+        loss = softmax_cross_entropy(self.scale * (logits - margins), labels, reduction)
         loss = loss + self.l1_weight * jnp.sum(jnp.abs(w))
         return loss, logits
 

@@ -28,7 +28,6 @@ import os
 import time
 from functools import partial
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +35,7 @@ import optax
 
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.losses.softmax import build_criterion
 from deeplip_tpu.models.fusion import LowFER
 from deeplip_tpu.models.lipreading import Lipreading
 from deeplip_tpu.models.tdnn import SpeakerEmbNet
@@ -72,6 +72,9 @@ class FusionTrainer:
         steps_per_epoch: int = 1,
         crop_size: tuple[int, int] = (88, 88),
         video_hidden_dim: int = 256,
+        loss: str = "CrossEntropy",
+        scale: float = 30.0,
+        margin: float = 0.2,
         exp_root: str = "exp",
         log_time: str | None = None,
     ):
@@ -93,6 +96,8 @@ class FusionTrainer:
             input_dims=(emb_dim, self.video_model.backend_out), output_dim=emb_dim
         )
 
+        self.loss_name = loss
+        self.criterion = build_criterion(loss, n_spk, scale, margin)
         self.schedule = multistep_schedule(lr, list(lr_decay_step), lr_decay, steps_per_epoch)
         self.tx = torch_sgd(self.schedule, momentum=momentum, weight_decay=weight_decay)
 
@@ -144,9 +149,12 @@ class FusionTrainer:
         e2 = jnp.zeros((2, self.video_model.backend_out), jnp.float32)
         fvars = self.fusion_head.init(jax.random.PRNGKey(seed + 2), e1, e2)
         fused = self.fusion_head.apply(fvars, e1, e2)
-        # criterion over the fused vector (CrossEntropy head, train_fusion.py:109-110)
-        self.criterion_dense = nn.Dense(self.n_spk)
-        cvars = self.criterion_dense.init(jax.random.PRNGKey(seed + 3), fused)
+        # criterion over the fused vector (CrossEntropy or LMCL branch,
+        # train_fusion.py:109-116); input dims are inferred, which fixes the
+        # reference's latent 1024-vs-1536 shape bug (see PARITY.md)
+        cvars = self.criterion.init(
+            jax.random.PRNGKey(seed + 3), fused, jnp.zeros((2,), jnp.int32)
+        )
         params = {"fusion": fvars["params"], "criterion": cvars["params"]}
         state = TrainState(
             params=params, batch_stats={}, opt_state=self.tx.init(params), step=0
@@ -195,11 +203,11 @@ class FusionTrainer:
 
         def loss_fn(params):
             fused = self.fusion_head.apply({"params": params["fusion"]}, xv_audio, em_video)
-            logits = self.criterion_dense.apply({"params": params["criterion"]}, fused)
-            logz = jax.nn.logsumexp(logits, axis=-1)
-            true_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-            per_ex = logz - true_logit
+            per_ex, logits = self.criterion.apply(
+                {"params": params["criterion"]}, fused, labels, reduction="none"
+            )
             denom = jnp.maximum(jnp.sum(valid), 1.0)
+            # masked mean ≙ the reference dropping bad pairs before the loss
             loss = jnp.sum(per_ex * valid) / denom
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * valid) / denom
             return loss, acc

@@ -157,3 +157,26 @@ def test_bad_pair_masking(av_corpus, tmp_path):
     )
     assert float(m_none["loss"]) == 0.0
     assert float(m_all["loss"]) > 0.0
+
+
+def test_fusion_lmcl_criterion(av_corpus, tmp_path):
+    """The reference's LMCL fusion branch (train_fusion.py:111-116)."""
+    manifest, video_map = av_corpus
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        loss="LMCL", scale=30.0, margin=0.2,
+        exp_root=str(tmp_path / "exp3"), log_time="f2",
+    )
+    trainer.init_encoders()
+    import numpy as _np
+
+    rng = _np.random.default_rng(2)
+    pcm = rng.standard_normal((8, 16000)).astype(_np.float32)
+    clips = rng.integers(0, 255, (8, 1, 8, 96, 96)).astype(_np.uint8)
+    clip_lengths = _np.full((8, 1), 8, _np.int32)
+    labels = rng.integers(0, 3, 8).astype(_np.int64)
+    valid = _np.ones((8,), _np.int32)
+    state = trainer.ensure_state()
+    state, metrics = trainer._train_step(state, pcm, clips, clip_lengths, valid, labels)
+    assert np.isfinite(float(metrics["loss"]))
