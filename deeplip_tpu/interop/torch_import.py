@@ -72,12 +72,26 @@ def import_speaker_embnet_state_dict(
         params[name] = p
         stats[name] = s
 
-    # attentive pooling parameters, when present
+    # attentive pooling parameters, when present. AttentiveStatPooling stores
+    # 2-D tensors matching ours directly (pooling.py:79-82); MonoHeadAttention
+    # stores them with a leading broadcast axis (W (1,H,C), b (1,H,1),
+    # v (1,1,H), k (1,1,1) — pooling.py:34-37) which maps by squeeze/reshape.
     pool = {}
     for pname in ("W", "b", "v", "k"):
         key = f"pooling.{pname}"
-        if key in sd:
-            pool[pname] = sd[key]
+        if key not in sd:
+            continue
+        t = sd[key]
+        if t.ndim == 3:  # mono-head layout
+            if pname == "W":
+                t = t[0]  # (H, C)
+            elif pname == "b":
+                t = t.reshape(-1, 1)  # (H, 1)
+            elif pname == "v":
+                t = t.reshape(1, -1)  # (1, H)
+            else:
+                t = t.reshape(1, 1)
+        pool[pname] = t
     if pool:
         params["pool"] = pool
 

@@ -138,3 +138,60 @@ def test_embedding_store_kaldi_roundtrip(tmp_path):
     loaded = EmbeddingStore.load_kaldi(scp)
     for k in store.table:
         np.testing.assert_array_equal(loaded[k], store[k])
+
+
+def test_torch_import_attentive_pooling_parity():
+    """Weight import for the attentive-statistics pooling variant."""
+    torch = pytest.importorskip("torch")
+    from deeplip_tpu.interop.torch_import import import_speaker_embnet_state_dict
+    from deeplip_tpu.models.tdnn import SpeakerEmbNet
+
+    contexts = [[-2, -1, 0, 1, 2], [0]]
+    dims = [24, 32, 48]
+    emb, hid = 16, 8
+    nn_t = torch.nn
+
+    class Pool(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            self.W = nn_t.Parameter(torch.randn(hid, dims[-1]))
+            self.b = nn_t.Parameter(torch.randn(1, hid))
+            self.v = nn_t.Parameter(torch.randn(hid, 1))
+            self.k = nn_t.Parameter(torch.randn(1, 1))
+
+        def forward(self, x):  # x: (B, C, T)
+            hidden = torch.relu((self.W @ x).transpose(1, 2) + self.b)
+            alpha = torch.softmax(hidden @ self.v + self.k, dim=1)  # (B, T, 1)
+            mean = torch.matmul(x, alpha).squeeze(-1)
+            std = torch.sqrt(torch.clamp(
+                torch.matmul(x * x, alpha).squeeze(-1) - mean * mean, min=0))
+            return torch.cat([mean, std], 1)
+
+    tnet = _torch_reference_tdnn(torch, contexts, dims, emb)
+    tnet.pooling = Pool()
+    tnet.fc1 = torch.nn.Linear(dims[-1] * 2, emb)
+    tnet.eval()
+
+    def textract(x):
+        h = tnet.tdnn(x)
+        stats = tnet.pooling(h)
+        return tnet.fc2(tnet.act(tnet.bn1(tnet.fc1(stats))))
+
+    params, stats = import_speaker_embnet_state_dict(tnet.state_dict(), n_blocks=2)
+    model = SpeakerEmbNet(
+        contexts=tuple(tuple(c) for c in contexts),
+        hidden_dims=tuple(dims[1:]),
+        embedding_dim=emb,
+        pooling="attentive_statistic",
+        attention_hidden_size=hid,
+    )
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 50, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = textract(torch.tensor(x).transpose(1, 2)).numpy()
+    got, _ = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x),
+        method=model.extract_embedding,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
