@@ -81,6 +81,7 @@ def test_fusion_train_and_extract(av_corpus, tmp_path):
         lr=0.05,
         steps_per_epoch=4,
         video_hidden_dim=8,
+        crop_size=(32, 32),
         exp_root=str(tmp_path / "exp"),
         log_time="f0",
     )
@@ -136,6 +137,7 @@ def test_bad_pair_masking(av_corpus, tmp_path):
     trainer = FusionTrainer(
         TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
         audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        crop_size=(32, 32),
         exp_root=str(tmp_path / "exp2"), log_time="f1",
     )
     trainer.init_encoders()
@@ -165,6 +167,7 @@ def test_fusion_lmcl_criterion(av_corpus, tmp_path):
     trainer = FusionTrainer(
         TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
         audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        crop_size=(32, 32),
         loss="LMCL", scale=30.0, margin=0.2,
         exp_root=str(tmp_path / "exp3"), log_time="f2",
     )
