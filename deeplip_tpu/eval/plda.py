@@ -106,6 +106,9 @@ class PLDA:
 
     # ---- persistence --------------------------------------------------
     def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez(
             path,
             mean=self.mean,

@@ -102,3 +102,42 @@ def test_cli_train_video_extract(tmp_path, capsys):
     assert "extracted 4 clip feature arrays" in capsys.readouterr().out
     saved = [f for _, _, fs in os.walk(out_dir) for f in fs]
     assert len(saved) == 4
+
+
+def test_cli_av_test_with_plda(cli_corpus, tmp_path, capsys):
+    """av_test mode: per-list extraction + cosine and PLDA EERs."""
+    import yaml as _yaml
+
+    from deeplip_tpu.cli.train_audio import main
+
+    root, manifest, trial_path = cli_corpus
+    cfg_path = str(tmp_path / "audio_av.yaml")
+    _write_audio_config(cfg_path, root, trial_path)
+    cfg = _yaml.safe_load(open(cfg_path))
+    # dev list: all corpus utterances, names like sNN/uM.wav; labels need the
+    # sNN_ prefix convention, so write names as sNN_uM.wav copies
+    dev_root = str(tmp_path / "dev")
+    names = []
+    import shutil
+
+    for s, spk in enumerate(manifest.speakers):
+        for u in spk:
+            name = f"s{s:02d}_{os.path.basename(u.path)}"
+            os.makedirs(dev_root, exist_ok=True)
+            shutil.copy(u.path, os.path.join(dev_root, name))
+            names.append(name)
+    dev_list = str(tmp_path / "devlist.txt")
+    open(dev_list, "w").write("\n".join(names) + "\n")
+    cfg["data"]["trial_lomgrid"] = trial_path
+    cfg["data"]["plda_dev_list"] = dev_list
+    cfg["data"]["dev_root"] = dev_root
+    cfg["test"].update(
+        {"eval_lomgrid": True, "eval_grid": False, "use_cos": True,
+         "use_plda": True, "train_plda": True}
+    )
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    main(["--config", cfg_path, "--mode", "av_test",
+          "--exp-root", str(tmp_path / "exp"), "--log-time", "cli1"])
+    out = capsys.readouterr().out
+    assert "cosine EER" in out and "PLDA EER" in out
+    assert os.path.exists(str(tmp_path / "exp" / "cli1" / "plda.npz"))
