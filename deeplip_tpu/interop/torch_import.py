@@ -272,6 +272,71 @@ def _import_tcn(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
     return params, stats
 
 
+def import_shufflenet_trunk_state_dict(
+    sd_or_raw: Mapping[str, Any], prefix: str = "trunk.0."
+) -> tuple[dict, dict]:
+    """Reference ShuffleNetV2 trunk weights -> our ShuffleNetV2Trunk tree.
+
+    The reference wires ``Sequential(features, conv_last, globalpool)`` as
+    the Lipreading trunk (``model.py:75``), so keys look like
+    ``trunk.0.<unit>.banch{1,2}.<idx>.*`` (InvertedResidual sequentials,
+    ``shufflenetv2.py:52-89``) and ``trunk.1.{0,1}.*`` (conv_1x1_bn). Unit
+    layouts: stride-1 ``banch2`` = pw/bn/relu/dw/bn/pw/bn/relu; stride-2
+    adds ``banch1`` = dw/bn/pw/bn/relu. Mapping onto our unit names:
+    pw1/dw/pw2 (stride 1) and l_dw/l_pw/r_pw1/r_dw/r_pw2 (stride 2).
+    """
+    sd = _clean_state_dict(sd_or_raw)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def conv(key):
+        return {"kernel": np.transpose(sd[key], (2, 3, 1, 0))}
+
+    def bn(key_prefix):
+        return (
+            {"scale": sd[f"{key_prefix}.weight"], "bias": sd[f"{key_prefix}.bias"]},
+            {"mean": sd[f"{key_prefix}.running_mean"],
+             "var": sd[f"{key_prefix}.running_var"]},
+        )
+
+    def conv_bn(ref, ours, up, us):
+        up[f"{ours}_conv"] = conv(f"{ref}.weight")
+        p, s = bn(ref.rsplit(".", 1)[0] + "." + str(int(ref.rsplit(".", 1)[1]) + 1))
+        up[f"{ours}_bn"] = p
+        us[f"{ours}_bn"] = s
+
+    stage_repeats = (4, 8, 4)
+    unit = 0
+    for stage, reps in enumerate(stage_repeats, start=2):
+        for i in range(reps):
+            ref = f"{prefix}{unit}"
+            name = f"stage{stage}_unit{i}"
+            up: dict[str, Any] = {}
+            us: dict[str, Any] = {}
+            if f"{ref}.banch1.0.weight" in sd:  # stride-2 unit
+                conv_bn(f"{ref}.banch1.0", "l_dw", up, us)
+                conv_bn(f"{ref}.banch1.2", "l_pw", up, us)
+                conv_bn(f"{ref}.banch2.0", "r_pw1", up, us)
+                conv_bn(f"{ref}.banch2.3", "r_dw", up, us)
+                conv_bn(f"{ref}.banch2.5", "r_pw2", up, us)
+            else:  # stride-1 unit
+                conv_bn(f"{ref}.banch2.0", "pw1", up, us)
+                conv_bn(f"{ref}.banch2.3", "dw", up, us)
+                conv_bn(f"{ref}.banch2.5", "pw2", up, us)
+            params[name] = up
+            stats[name] = us
+            unit += 1
+
+    # conv_last (trunk.1 = conv_1x1_bn)
+    last_prefix = prefix.rsplit(".", 2)[0] + ".1" if prefix.endswith("0.") else "conv_last"
+    if f"{last_prefix}.0.weight" in sd:
+        params["conv_last_conv"] = conv(f"{last_prefix}.0.weight")
+        p, s = bn(f"{last_prefix}.1")
+        params["conv_last_bn"] = p
+        stats["conv_last_bn"] = s
+    return params, stats
+
+
 def load_reference_video_checkpoint(path: str, layers=(2, 2, 2, 2)) -> tuple[dict, dict]:
     """torch.load a reference video ``state_dict`` file and convert."""
     import torch

@@ -21,7 +21,7 @@ _STAGE_CHANNELS = {
     0.5: (48, 96, 192, 1024),
     1.0: (116, 232, 464, 1024),
     1.5: (176, 352, 704, 1024),
-    2.0: (224, 488, 976, 2048),
+    2.0: (244, 488, 976, 2048),
 }
 _STAGE_REPEATS = (4, 8, 4)
 
