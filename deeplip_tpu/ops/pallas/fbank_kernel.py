@@ -25,9 +25,18 @@ framing *is* the matmul decomposition; each partial product is a dense
 
 The overlapping row windows can't be disjoint BlockSpec tiles, so the
 row-major signal stays in ANY/HBM space and each grid cell DMAs its own
-``(T_tile-1+k, h)`` row window (the guide's manual-DMA pattern).
+``(b_tile, T_tile+pad, h)`` window (the guide's manual-DMA pattern, double
+buffered, batch-tiled).
 
-Numerics match ``ops.features`` exactly (same basis matrices, f32).
+Numerics match ``ops.features`` exactly (same basis matrices, f32; verified
+on hardware ≤2.5e-5).
+
+Performance status (measured, one v5e, 128×48000 batch): ~2.9 ms vs ~1.55 ms
+for the XLA matmul path. The gap is structural: Mosaic requires lane-aligned
+operands, so the hop dimension pads 160→256 and the DFT matmuls carry 1.9×
+wasted FLOPs, while XLA multiplies the unpadded (T, 400) frames directly.
+The XLA path therefore stays the default front-end; this kernel documents
+the fused-VMEM design and is selected with ``backend='pallas'``.
 """
 
 from __future__ import annotations
@@ -72,18 +81,19 @@ def _feature_kernel(
     rows_hbm, cos_ref, sin_ref, mel_ref, dct_ref, lift_ref, out_ref,
     rows_vmem, sems,
     *, t_tile: int, k: int, n_fft: int, feat_type: str, energy: bool,
+    b_tile: int,
 ):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     n_b = pl.num_programs(0)
-    window_rows = rows_vmem.shape[1]
+    window_rows = rows_vmem.shape[2]
 
-    # Double-buffered DMA: each grid cell's window was prefetched by its
-    # predecessor; this cell starts the successor's transfer, then waits on
-    # its own slot. One aligned DMA per cell (offset t_idx*t_tile and size
-    # t_tile+pad are both sublane-aligned); the k row shifts are static
-    # vector slices of the loaded window (cheap sublane rotations).
+    # Double-buffered DMA: each grid cell's window (b_tile batch rows at
+    # once, amortizing per-cell overhead) was prefetched by its predecessor;
+    # this cell starts the successor's transfer, then waits on its own slot.
+    # Offsets/sizes are sublane-aligned; the k row shifts are static vector
+    # slices of the loaded window (cheap sublane rotations).
     lin = b_idx * n_tiles + t_idx
     slot = jax.lax.rem(lin, 2)
 
@@ -91,7 +101,7 @@ def _feature_kernel(
         b2 = jax.lax.div(linear, n_tiles)
         t2 = jax.lax.rem(linear, n_tiles)
         return pltpu.make_async_copy(
-            rows_hbm.at[b2, pl.ds(t2 * t_tile, window_rows)],
+            rows_hbm.at[pl.ds(b2 * b_tile, b_tile), pl.ds(t2 * t_tile, window_rows)],
             rows_vmem.at[slot_idx],
             sems.at[slot_idx],
         )
@@ -106,7 +116,6 @@ def _feature_kernel(
 
     dma_for(lin, slot).wait()
 
-    window = rows_vmem[slot]
     d_pad = out_ref.shape[-1]
 
     def mm(a, b):
@@ -118,46 +127,50 @@ def _feature_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # k shifted-window matmuls accumulated (a lane-concat into one wide
-    # matmul is not lowerable: Mosaic rejects concats of vectors with
-    # mismatched sublane offsets)
-    h = window.shape[-1]
-    re = jnp.zeros((t_tile, out_bins := cos_ref.shape[-1]), jnp.float32)
-    im = jnp.zeros((t_tile, out_bins), jnp.float32)
-    for i in range(k):
-        block = window[i : i + t_tile]
-        re += mm(block, cos_ref[pl.ds(i * h, h)])
-        im += mm(block, sin_ref[pl.ds(i * h, h)])
-    power = (re * re + im * im) * (1.0 / n_fft)
-    mel = mm(power, mel_ref[:])
-    mel = jnp.where(mel == 0, _PSF_EPS, mel)
+    # per batch row in the tile: k shifted-window matmuls accumulated (a
+    # lane-concat into one wide matmul is not lowerable: Mosaic rejects
+    # concats of vectors with mismatched sublane offsets)
+    h = rows_vmem.shape[-1]
+    out_bins = cos_ref.shape[-1]
 
     def pad_d(x):
         return jnp.pad(x, ((0, 0), (0, d_pad - x.shape[-1])))
 
-    if feat_type == "fbank":
-        out_ref[0] = pad_d(mel)
-        return
-    logmel = jnp.log(mel)
-    if feat_type == "logfbank":
-        out_ref[0] = pad_d(logmel)
-        return
-    cep = mm(logmel, dct_ref[:]) * lift_ref[:]  # (1, d) 2-D broadcast
-    if energy:
-        e = jnp.sum(power, axis=-1, keepdims=True)
-        e = jnp.where(e == 0, _PSF_EPS, e)
-        # masked select instead of a lane-unaligned concat
-        col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
-        cep = jnp.where(col == 0, jnp.log(e), cep)
-    out_ref[0] = pad_d(cep)
+    for r in range(b_tile):
+        window = rows_vmem[slot, r]
+        re = jnp.zeros((t_tile, out_bins), jnp.float32)
+        im = jnp.zeros((t_tile, out_bins), jnp.float32)
+        for i in range(k):
+            block = window[i : i + t_tile]
+            re += mm(block, cos_ref[pl.ds(i * h, h)])
+            im += mm(block, sin_ref[pl.ds(i * h, h)])
+        power = (re * re + im * im) * (1.0 / n_fft)
+        mel = mm(power, mel_ref[:])
+        mel = jnp.where(mel == 0, _PSF_EPS, mel)
+        if feat_type == "fbank":
+            out_ref[r] = pad_d(mel)
+            continue
+        logmel = jnp.log(mel)
+        if feat_type == "logfbank":
+            out_ref[r] = pad_d(logmel)
+            continue
+        cep = mm(logmel, dct_ref[:]) * lift_ref[:]  # (1, d) 2-D broadcast
+        if energy:
+            e = jnp.sum(power, axis=-1, keepdims=True)
+            e = jnp.where(e == 0, _PSF_EPS, e)
+            # masked select instead of a lane-unaligned concat
+            col = jax.lax.broadcasted_iota(jnp.int32, cep.shape, 1)
+            cep = jnp.where(col == 0, jnp.log(e), cep)
+        out_ref[r] = pad_d(cep)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "t_tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "t_tile", "b_tile"))
 def pallas_audio_features(
     signal: jnp.ndarray,
     cfg: FeatureConfig,
     interpret: bool = False,
     t_tile: int = 128,
+    b_tile: int = 8,
 ) -> jnp.ndarray:
     """Fused feature extraction: ``(B, S) -> (B, T, D)`` (no CMVN/deltas).
 
@@ -180,11 +193,15 @@ def pallas_audio_features(
     overlap = -(-(k - 1) // 8) * 8  # window overhang, sublane-aligned
     n_rows = n_tiles * t_tile + overlap
 
+    b_tile = max(1, min(b_tile, b))
+    b_pad = -(-b // b_tile) * b_tile
     emph = preemphasis(signal, cfg.preemph)
     need = n_rows * frame_step
     if need > s:
         emph = jnp.pad(emph, ((0, 0), (0, need - s)))
     rows = emph[:, :need].reshape(b, n_rows, frame_step)
+    if b_pad != b:
+        rows = jnp.pad(rows, ((0, b_pad - b), (0, 0), (0, 0)))
     # pad the lane (hop) dimension up to a multiple of 128 so DMA slices are
     # tiling-aligned; the matching basis rows are zero so results are exact
     h_pad = -(-frame_step // 128) * 128
@@ -213,10 +230,11 @@ def pallas_audio_features(
         n_fft=cfg.n_fft,
         feat_type=cfg.feat_type,
         energy=cfg.energy,
+        b_tile=b_tile,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
+        grid=(b_pad // b_tile, n_tiles),
         in_specs=[
             # whole array pinned to HBM (free-form DMA offsets); each grid
             # cell DMAs its own overlapping row windows
@@ -228,11 +246,11 @@ def pallas_audio_features(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lifter
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (b_tile, t_tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * t_tile, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_tiles * t_tile, d_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, t_tile + overlap, h_pad), jnp.float32),
+            pltpu.VMEM((2, b_tile, t_tile + overlap, h_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -244,4 +262,4 @@ def pallas_audio_features(
         jnp.asarray(dct, jnp.float32),
         jnp.asarray(lift.reshape(1, -1), jnp.float32),
     )
-    return out[:, :t, :d_out]
+    return out[:b, :t, :d_out]
