@@ -122,3 +122,19 @@ def test_stft_feature_type_through_model():
     variables = net.init(jax.random.PRNGKey(0), feats)
     out = net.apply(variables, feats)
     assert out.shape == (2, 16)
+
+
+def test_make_mesh_multi_axis():
+    """Mesh helper supports (data, model) layouts for future TP/PP."""
+    import jax
+
+    from deeplip_tpu.core.mesh import data_sharding, make_mesh
+
+    mesh = make_mesh([("data", 4), ("model", 2)])
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+    # -1 wildcard fills remaining devices
+    mesh2 = make_mesh([("data", -1), ("model", 2)])
+    assert mesh2.devices.shape == (4, 2)
+    s = data_sharding(mesh, ndim=2)
+    assert s.spec == jax.sharding.PartitionSpec("data", None)
