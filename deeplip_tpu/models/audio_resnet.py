@@ -30,6 +30,7 @@ class AudioResNet(nn.Module):
     stage_widths: tuple[int, ...] = (64, 128, 256)
     stage_blocks: tuple[int, ...] = (3, 3, 3)
     embedding_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, model_opts: Mapping[str, Any]) -> "AudioResNet":
@@ -50,15 +51,16 @@ class AudioResNet(nn.Module):
 
     def setup(self):
         self.stem = nn.Conv(self.stage_widths[0], (3, 3), padding=[(1, 1), (1, 1)],
-                            use_bias=False, name="stem")
-        self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="stem_bn")
+                            use_bias=False, dtype=self.dtype, name="stem")
+        self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                    name="stem_bn")
         blocks = []
         for stage, (w, n) in enumerate(zip(self.stage_widths, self.stage_blocks)):
             for i in range(n):
                 stride = 2 if (i == 0 and stage > 0) else 1
                 blocks.append(
                     BasicBlock(planes=w, stride=stride, relu_type="relu",
-                               name=f"stage{stage}_block{i}")
+                               dtype=self.dtype, name=f"stage{stage}_block{i}")
                 )
         self.blocks = blocks
         self.fc1 = nn.Dense(self.embedding_dim)
@@ -68,12 +70,13 @@ class AudioResNet(nn.Module):
 
     def _trunk(self, x: jnp.ndarray, train: bool, lengths) -> jnp.ndarray:
         b, t, d = x.shape
-        img = x[..., None]  # NHWC with H=T, W=D, C=1
+        img = x.astype(self.dtype)[..., None]  # NHWC with H=T, W=D, C=1
         h = self.stem(img)
         h = nn.relu(self.stem_bn(h, use_running_average=not train))
         for blk in self.blocks:
             h = blk(h, train=train)
-        # masked global average pool over (T', D')
+        # masked global average pool over (T', D'), in float32
+        h = h.astype(jnp.float32)
         if lengths is None:
             return jnp.mean(h, axis=(1, 2))
         # time downsampled by 4 across stages 1-2
