@@ -137,12 +137,22 @@ class AudioTrainer:
         margin_range = self.train_opts.get("margin", [0.2, 0.2])
         self.init_margin, self.end_margin = float(margin_range[0]), float(margin_range[-1])
         self.loss_name = self.train_opts.get("loss", "LMCL")
-        self.criterion = build_criterion(
-            self.loss_name,
-            self.n_spk,
-            float(self.train_opts.get("scale", 30.0)),
-            self.init_margin,
-        )
+        if self.loss_name == "Triplet":
+            # parameterless online triplet mining (loss.py:18-31 + the
+            # selector zoo, utils.py:31-142) — strategy via train.triplet_strategy
+            from deeplip_tpu.losses.triplet import OnlineTripletLoss
+
+            self.criterion = OnlineTripletLoss(
+                margin=self.init_margin,
+                strategy=self.train_opts.get("triplet_strategy", "hardest"),
+            )
+        else:
+            self.criterion = build_criterion(
+                self.loss_name,
+                self.n_spk,
+                float(self.train_opts.get("scale", 30.0)),
+                self.init_margin,
+            )
 
         self.batch_size = int(self.train_opts.get("bs", 256))
         self.epochs = int(self.train_opts.get("epoch", 30))
@@ -199,10 +209,14 @@ class AudioTrainer:
         x = jnp.zeros((2, example_frames, dim), jnp.float32)
         mvars = self.model.init(jax.random.PRNGKey(seed), x)
         emb = self.model.apply(mvars, x)
-        hvars = self.criterion.init(
-            jax.random.PRNGKey(seed + 1), emb, jnp.zeros((2,), jnp.int32)
-        )
-        params = {"model": mvars["params"], "criterion": hvars["params"]}
+        if self.loss_name == "Triplet":
+            crit_params = {}
+        else:
+            hvars = self.criterion.init(
+                jax.random.PRNGKey(seed + 1), emb, jnp.zeros((2,), jnp.int32)
+            )
+            crit_params = hvars["params"]
+        params = {"model": mvars["params"], "criterion": crit_params}
         batch_stats = {"model": mvars["batch_stats"]}
         opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=0)
@@ -217,6 +231,10 @@ class AudioTrainer:
     # train
     # ------------------------------------------------------------------
     def _criterion_apply(self, params, emb, labels, margin):
+        if self.loss_name == "Triplet":
+            loss, _count = self.criterion(emb, labels)
+            # no classification logits: report zeros so acc reads 0
+            return loss, jnp.zeros((emb.shape[0], max(self.n_spk, 1)), emb.dtype)
         if isinstance(self.criterion, (LMCL, AAMSoftmax)):
             return self.criterion.apply({"params": params}, emb, labels, margin=margin)
         return self.criterion.apply({"params": params}, emb, labels)

@@ -78,3 +78,53 @@ def test_kaldi_train_pipeline_and_steps(tmp_path):
     assert os.path.isdir(os.path.join(trainer.exp_dir, "net_1"))
     records = open(os.path.join(trainer.exp_dir, "train_metrics.jsonl")).readlines()
     assert len(records) >= 1
+
+
+def test_triplet_loss_training_branch(tmp_path):
+    """The reference's Triplet loss option trains end-to-end."""
+    import jax.numpy as jnp
+
+    from deeplip_tpu.data.synthetic import make_audio_corpus
+    from deeplip_tpu.ops.framing import samples_for_frames
+
+    root = str(tmp_path / "c")
+    make_audio_corpus(root, n_spk=3, utts_per_spk=2, duration=1.0)
+    cfg = Config(
+        {
+            "data": {"frames": [30, 40],
+                     "train_manifest": os.path.join(root, "manifest.csv"),
+                     "python_data_config": {
+                         "rate": 16000, "feat_type": "mfcc",
+                         "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                                  "energy": True, "normalize": True, "delta": False,
+                                  "win_len": 0.025, "win_shift": 0.01}}},
+            "model": {"arch": "tdnn", "tdnn": {
+                "input_dim": 24, "hidden_dim": [32, 32, 64],
+                "context": [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]],
+                "tdnn_layers": 3, "embedding_dim": 16,
+                "pooling": "statistic", "attention_hidden_size": 8,
+                "bn_first": True}},
+            "train": {"type": "sgd", "bs": 8, "lr_decay": 0.1,
+                      "lr_decay_step": [50], "epoch": 1, "loss": "Triplet",
+                      "margin": [0.2, 0.2], "triplet_strategy": "hardest",
+                      "frame_buckets": 2, "log_every": 0,
+                      "sgd": {"init_lr": 0.05, "weight_decay": 0, "momentum": 0.9}},
+            "test": {},
+        }
+    )
+    trainer = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "exp"),
+                           log_time="t0")
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    samples = samples_for_frames(32, 0.025, 0.01, 16000)
+    from deeplip_tpu.core.mesh import data_sharding
+    import jax
+
+    pcm = jax.device_put(rng.standard_normal((8, samples)).astype(_np.float32),
+                         data_sharding(trainer.mesh, 2))
+    labels = jax.device_put(rng.integers(0, 3, 8).astype(_np.int64),
+                            data_sharding(trainer.mesh, 1))
+    state = trainer.ensure_state()
+    state, metrics = trainer._train_step(state, pcm, labels, jnp.float32(0.2))
+    assert np.isfinite(float(metrics["loss"]))
