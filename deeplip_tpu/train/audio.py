@@ -335,6 +335,9 @@ class AudioTrainer:
             "epoch": epoch,
             "params": jax.tree_util.tree_map(np.asarray, state.params),
             "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+            # optimizer state saved like the reference (train_audio.py:261-264);
+            # restore is opt-in (the reference leaves it commented out, :271-273)
+            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
         }
 
     def save(self, epoch: int | None = None) -> None:
@@ -353,12 +356,25 @@ class AudioTrainer:
             step=state.step,
         )
 
-    def load(self, path_or_tag: str) -> None:
-        """Resume weights + epoch (not the optimizer — parity with
-        ``train_audio.py:266-274``)."""
+    def load(self, path_or_tag: str, restore_optimizer: bool = False) -> None:
+        """Resume weights + epoch; ``restore_optimizer`` additionally restores
+        momentum/schedule state (default off — parity with the reference's
+        commented-out optimizer restore, ``train_audio.py:266-274``)."""
         exp_dir, tag = os.path.split(path_or_tag.rstrip("/"))
         tree = ckpt.load_checkpoint(exp_dir or self.exp_dir, tag)
         self._restore_weights(tree)
+        if restore_optimizer and tree.get("opt_state") is not None:
+            state = self.ensure_state()
+            leaves = jax.tree_util.tree_leaves(tree["opt_state"])
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state.opt_state), leaves
+            )
+            self.state = TrainState(
+                params=state.params,
+                batch_stats=state.batch_stats,
+                opt_state=jax.device_put(opt_state, replicated_sharding(self.mesh)),
+                step=state.step,
+            )
         self.current_epoch = int(tree.get("epoch", 0))
         self.exp_dir = exp_dir or self.exp_dir
         self.log_time = os.path.basename(self.exp_dir)

@@ -128,3 +128,61 @@ def test_triplet_loss_training_branch(tmp_path):
     state = trainer.ensure_state()
     state, metrics = trainer._train_step(state, pcm, labels, jnp.float32(0.2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_optimizer_state_checkpoint_roundtrip(tmp_path):
+    """opt_state is saved with each checkpoint and restorable on demand."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeplip_tpu.data.synthetic import make_audio_corpus
+    from deeplip_tpu.core.mesh import data_sharding
+    from deeplip_tpu.ops.framing import samples_for_frames
+
+    root = str(tmp_path / "c")
+    make_audio_corpus(root, n_spk=2, utts_per_spk=2, duration=1.0)
+    base = {
+        "data": {"frames": [30, 40],
+                 "train_manifest": os.path.join(root, "manifest.csv"),
+                 "python_data_config": {
+                     "rate": 16000, "feat_type": "mfcc",
+                     "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                              "energy": True, "normalize": True, "delta": False,
+                              "win_len": 0.025, "win_shift": 0.01}}},
+        "model": {"arch": "tdnn", "tdnn": {
+            "input_dim": 24, "hidden_dim": [16, 32],
+            "context": [[-2, -1, 0, 1, 2], [0]],
+            "tdnn_layers": 2, "embedding_dim": 8,
+            "pooling": "statistic", "attention_hidden_size": 4,
+            "bn_first": True}},
+        "train": {"type": "sgd", "bs": 8, "lr_decay": 0.1, "lr_decay_step": [50],
+                  "epoch": 1, "loss": "LMCL", "scale": 30, "margin": [0.2, 0.2],
+                  "frame_buckets": 2, "log_every": 0,
+                  "sgd": {"init_lr": 0.05, "weight_decay": 0, "momentum": 0.9}},
+        "test": {},
+    }
+    import numpy as _np
+
+    t1 = AudioTrainer(Config(base), mesh=make_mesh(),
+                      exp_root=str(tmp_path / "exp"), log_time="o0")
+    rng = _np.random.default_rng(0)
+    samples = samples_for_frames(32, 0.025, 0.01, 16000)
+    pcm = jax.device_put(rng.standard_normal((8, samples)).astype(_np.float32),
+                         data_sharding(t1.mesh, 2))
+    labels = jax.device_put(rng.integers(0, 2, 8).astype(_np.int64),
+                            data_sharding(t1.mesh, 1))
+    state = t1.ensure_state()
+    state, _ = t1._train_step(state, pcm, labels, jnp.float32(0.2))
+    t1.state = state
+    t1.save(1)
+
+    t2 = AudioTrainer(Config(base), mesh=make_mesh(),
+                      exp_root=str(tmp_path / "exp"), log_time="o0")
+    t2.load(os.path.join(t1.exp_dir, "net_1"), restore_optimizer=True)
+    want = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.opt_state))
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, t2.state.opt_state))
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(a, b, atol=1e-7)
