@@ -221,7 +221,19 @@ class FusionTrainer:
             {"loss": loss, "acc": acc},
         )
 
-    def train(self, pipeline, epochs: int = 1) -> TrainState:
+    def train(self, pipeline, epochs: int = 1, auto_resume: bool = False) -> TrainState:
+        if auto_resume:
+            latest = ckpt.latest_checkpoint(self.exp_dir)
+            if latest is not None and latest > self.current_epoch:
+                tree = ckpt.load_checkpoint(self.exp_dir, latest)
+                state0 = self.ensure_state()
+                self.state = TrainState(
+                    params=jax.device_put(tree["params"], replicated_sharding(self.mesh)),
+                    batch_stats={},
+                    opt_state=state0.opt_state,
+                    step=state0.step,
+                )
+                self.current_epoch = int(tree.get("epoch", 0))
         state = self.ensure_state()
         os.makedirs(self.exp_dir, exist_ok=True)
         logger = StepLogger(self.exp_dir, print_every=10, prefix="fusion")

@@ -121,7 +121,12 @@ class VideoTrainer:
             {"loss": loss, "acc": acc},
         )
 
-    def train(self, batches: VideoClipBatches, epochs: int = 1, seed: int = 0) -> TrainState:
+    def train(self, batches: VideoClipBatches, epochs: int = 1, seed: int = 0,
+              auto_resume: bool = False) -> TrainState:
+        if auto_resume:
+            latest = ckpt.latest_checkpoint(self.exp_dir)
+            if latest is not None and latest > self.current_epoch:
+                self.load(os.path.join(self.exp_dir, f"net_{latest}"))
         state = self.ensure_state()
         os.makedirs(self.exp_dir, exist_ok=True)
         logger = StepLogger(self.exp_dir, print_every=10, prefix="video")

@@ -138,3 +138,16 @@ def test_make_mesh_multi_axis():
     assert mesh2.devices.shape == (4, 2)
     s = data_sharding(mesh, ndim=2)
     assert s.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from deeplip_tpu.train.metrics import profile_trace
+
+    with profile_trace(None):
+        pass
+    logdir = str(tmp_path / "trace")
+    with profile_trace(logdir):
+        _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert os.path.isdir(logdir)
