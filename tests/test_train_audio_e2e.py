@@ -149,3 +149,29 @@ def test_padded_extraction_matches_single(corpus, tmp_path):
     )
     for u in utts:
         np.testing.assert_allclose(batched[u.name], single[u.name], atol=5e-4)
+
+
+def test_attentive_pooling_trainer_path(corpus, tmp_path):
+    """Train a few steps with attentive-statistics pooling via the trainer."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from deeplip_tpu.core.mesh import data_sharding
+    from deeplip_tpu.ops.framing import samples_for_frames
+
+    root, manifest, _ = corpus
+    cfg = _config(tmp_path, root)
+    cfg.model.tdnn["pooling"] = "attentive_statistic"
+    trainer = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "expA"),
+                           log_time="att")
+    rng = np.random.default_rng(0)
+    samples = samples_for_frames(50, 0.025, 0.01, 16000)
+    pcm = jax.device_put(rng.standard_normal((8, samples)).astype(np.float32),
+                         data_sharding(trainer.mesh, 2))
+    labels = jax.device_put(rng.integers(0, 4, 8).astype(np.int64),
+                            data_sharding(trainer.mesh, 1))
+    state = trainer.ensure_state()
+    state, metrics = trainer._train_step(state, pcm, labels, jnp.float32(0.2))
+    assert np.isfinite(float(metrics["loss"]))
