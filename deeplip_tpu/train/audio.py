@@ -379,6 +379,25 @@ class AudioTrainer:
         self.exp_dir = exp_dir or self.exp_dir
         self.log_time = os.path.basename(self.exp_dir)
 
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Load a reference PyTorch ``net_*.pth`` directly (migration path):
+        converts the state_dict via ``interop.torch_import`` and installs the
+        model weights + BN stats (criterion/optimizer keep their init)."""
+        from deeplip_tpu.interop.torch_import import load_reference_audio_checkpoint
+
+        params, stats = load_reference_audio_checkpoint(
+            path, n_blocks=len(self.model.contexts)
+        )
+        state = self.ensure_state()
+        new_params = dict(state.params)
+        new_params["model"] = params
+        self.state = TrainState(
+            params=jax.device_put(new_params, replicated_sharding(self.mesh)),
+            batch_stats=jax.device_put({"model": stats}, replicated_sharding(self.mesh)),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+
     def load_finetune(self, path_or_tag: str) -> None:
         """Load weights, keep epoch at 0; the optimizer mask (set from
         ``train_type: finetune``) freezes the backbone like

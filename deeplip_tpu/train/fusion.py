@@ -141,6 +141,27 @@ class FusionTrainer:
                 "batch_stats": tree["batch_stats"],
             }
 
+    def load_torch_encoders(self, audio_pth: str | None, video_pth: str | None) -> None:
+        """Load the frozen encoders from reference PyTorch checkpoints
+        (the migration analogue of ``load_finetune``, train_fusion.py:191-196)."""
+        from deeplip_tpu.interop.torch_import import (
+            load_reference_audio_checkpoint,
+            load_reference_video_checkpoint,
+        )
+
+        if self.audio_vars is None:
+            self.init_encoders()
+        if audio_pth:
+            p, s = load_reference_audio_checkpoint(
+                audio_pth, n_blocks=len(self.audio_model.contexts)
+            )
+            self.audio_vars = {"params": p, "batch_stats": s}
+        if video_pth:
+            p, s = load_reference_video_checkpoint(video_pth)
+            merged_p = {**self.video_vars["params"], **p}
+            merged_s = {**self.video_vars["batch_stats"], **s}
+            self.video_vars = {"params": merged_p, "batch_stats": merged_s}
+
     def _init_state(self, seed: int = 0) -> TrainState:
         if self.audio_vars is None:
             self.init_encoders(seed)

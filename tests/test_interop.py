@@ -195,3 +195,47 @@ def test_torch_import_attentive_pooling_parity():
         method=model.extract_embedding,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_trainer_load_torch_checkpoint(tmp_path):
+    """AudioTrainer.load_torch_checkpoint: migration path from reference .pth."""
+    torch = pytest.importorskip("torch")
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.core.mesh import make_mesh
+    from deeplip_tpu.train.audio import AudioTrainer
+
+    contexts = [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]]
+    dims = [24, 32, 32, 64]
+    tnet = _torch_reference_tdnn(torch, contexts, dims, 16)
+    path = str(tmp_path / "net_ref.pth")
+    torch.save({"epoch": 3, "state_dict": tnet.state_dict()}, path)
+
+    cfg = Config({
+        "data": {"frames": [30, 40], "python_data_config": {
+            "rate": 16000, "feat_type": "mfcc",
+            "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24, "energy": True,
+                     "normalize": True, "delta": False,
+                     "win_len": 0.025, "win_shift": 0.01}}},
+        "model": {"arch": "tdnn", "tdnn": {
+            "input_dim": 24, "hidden_dim": dims[1:], "context": contexts,
+            "tdnn_layers": 3, "embedding_dim": 16, "pooling": "statistic",
+            "attention_hidden_size": 8, "bn_first": True}},
+        "train": {"type": "sgd", "bs": 8, "lr_decay": 0.1, "lr_decay_step": [10],
+                  "epoch": 1, "loss": "LMCL", "scale": 30, "margin": [0.2, 0.2],
+                  "sgd": {"init_lr": 0.01, "weight_decay": 0, "momentum": 0.9}},
+        "test": {},
+    })
+    trainer = AudioTrainer(cfg, mesh=make_mesh(), n_spk=4)
+    trainer.load_torch_checkpoint(path)
+    # embeddings must match torch eval on the same features
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 60, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet.extract(torch.tensor(x).transpose(1, 2)).numpy()
+    got, _ = trainer.model.apply(
+        {"params": trainer.state.params["model"],
+         "batch_stats": trainer.state.batch_stats["model"]},
+        jnp.asarray(x),
+        method=trainer.model.extract_embedding,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
