@@ -141,3 +141,65 @@ def test_cli_av_test_with_plda(cli_corpus, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "cosine EER" in out and "PLDA EER" in out
     assert os.path.exists(str(tmp_path / "exp" / "cli1" / "plda.npz"))
+
+
+def test_cli_fusion_make_trainer(tmp_path):
+    """train_fusion CLI: config parsing + trainer construction + video map."""
+    import yaml as _yaml
+
+    from deeplip_tpu.cli.train_fusion import build_video_map, make_trainer
+    from deeplip_tpu.core.config import load_fusion_config
+    from deeplip_tpu.data.manifest import SpeakerManifest
+    from deeplip_tpu.data.synthetic import make_audio_corpus, make_video_corpus
+
+    root = str(tmp_path / "corpus")
+    make_audio_corpus(root, n_spk=2, utts_per_spk=2, duration=0.8)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    vroot = str(tmp_path / "video")
+    # clips named after utterance stems under matching speaker dirs
+    for s, spk in enumerate(manifest.speakers):
+        os.makedirs(os.path.join(vroot, f"s{s:02d}"), exist_ok=True)
+        for u in spk:
+            stem = os.path.splitext(os.path.basename(u.path))[0]
+            np.savez(os.path.join(vroot, f"s{s:02d}", stem + ".npz"),
+                     data=np.zeros((4, 96, 96), np.uint8))
+
+    cfg = {
+        "data": {
+            "frames": [30, 40],
+            "train_manifest": os.path.join(root, "manifest.csv"),
+            "video_root": vroot,
+            "python_data_config": {
+                "rate": 16000, "feat_type": "mfcc",
+                "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                         "energy": True, "normalize": True, "delta": False,
+                         "win_len": 0.025, "win_shift": 0.01}},
+        },
+        "model": {
+            "audio_config": {"arch": "tdnn", "tdnn": {
+                "input_dim": 24, "hidden_dim": [16, 32],
+                "context": [[-2, -1, 0, 1, 2], [0]], "tdnn_layers": 2,
+                "embedding_dim": 8, "pooling": "statistic",
+                "attention_hidden_size": 4, "bn_first": True}},
+            "video_config": {"arch": "tcn", "tcn": {
+                "extract_feats": True, "backbone_type": "resnet",
+                "width_mult": 1.0, "relu_type": "prelu", "tcn_num_layers": 1,
+                "tcn_kernel_size": [3], "tcn_dropout": 0.2, "tcn_dwpw": False,
+                "tcn_width_mult": 1}},
+        },
+        "train": {"optimizer": "sgd", "bs": 4, "lr_decay_step": [4, 8],
+                  "lr_decay": 0.1, "epoch": 1, "loss": "CrossEntropy",
+                  "max_clips": 1, "clip_frames": 4,
+                  "sgd": {"init_lr": 0.5, "weight_decay": 1e-5, "momentum": 0.9},
+                  "resume": "None",
+                  "audio_config": {"resume": "None"},
+                  "video_config": {"resume": "None"}},
+        "test": {"eval_grid": False, "eval_lomgrid": False},
+    }
+    cfg_path = str(tmp_path / "fusion.yaml")
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    loaded = load_fusion_config(cfg_path)
+    trainer = make_trainer(loaded, str(tmp_path / "exp"), "fc0")
+    assert trainer.n_spk == 2
+    vmap = build_video_map(trainer._manifest, vroot)
+    assert len(vmap) == 4  # every utterance paired
