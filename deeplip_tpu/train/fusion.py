@@ -36,7 +36,7 @@ import optax
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
 from deeplip_tpu.losses.softmax import build_criterion
-from deeplip_tpu.models.fusion import LowFER
+from deeplip_tpu.models.fusion import CompactBilinearPooling, LinearFusion, LowFER
 from deeplip_tpu.models.lipreading import Lipreading
 from deeplip_tpu.models.tdnn import SpeakerEmbNet
 from deeplip_tpu.ops import features as F
@@ -72,6 +72,7 @@ class FusionTrainer:
         steps_per_epoch: int = 1,
         crop_size: tuple[int, int] = (88, 88),
         video_hidden_dim: int = 256,
+        fusion_head: str = "lowfer",
         loss: str = "CrossEntropy",
         scale: float = 30.0,
         margin: float = 0.2,
@@ -92,9 +93,19 @@ class FusionTrainer:
         if video_hidden_dim != 256:
             self.video_model = self.video_model.clone(hidden_dim=video_hidden_dim)
         emb_dim = self.audio_model.embedding_dim
-        self.fusion_head = LowFER(
-            input_dims=(emb_dim, self.video_model.backend_out), output_dim=emb_dim
-        )
+        # head selection ≙ the reference's (partly commented) alternates at
+        # train_fusion.py:82-84: LowFER (live), Linearfusion, CompactBilinearPooling
+        self.fusion_head_name = fusion_head
+        if fusion_head == "lowfer":
+            self.fusion_head = LowFER(
+                input_dims=(emb_dim, self.video_model.backend_out), output_dim=emb_dim
+            )
+        elif fusion_head == "linear":
+            self.fusion_head = LinearFusion(hidden_size=emb_dim, extract_feats=True)
+        elif fusion_head == "cbp":
+            self.fusion_head = CompactBilinearPooling(output_dim=emb_dim)
+        else:
+            raise NotImplementedError(f"fusion head {fusion_head!r}")
 
         self.loss_name = loss
         self.criterion = build_criterion(loss, n_spk, scale, margin)
@@ -106,6 +117,7 @@ class FusionTrainer:
         self.current_epoch = 0
         self.state: TrainState | None = None
         self._extract_fns: dict = {}
+        self._head_extra_vars: dict = {}
         # frozen encoder variables, set by init or load_encoders
         self.audio_vars = None
         self.video_vars = None
@@ -168,19 +180,37 @@ class FusionTrainer:
         emb_dim = self.audio_model.embedding_dim
         e1 = jnp.zeros((2, emb_dim), jnp.float32)
         e2 = jnp.zeros((2, self.video_model.backend_out), jnp.float32)
-        fvars = self.fusion_head.init(jax.random.PRNGKey(seed + 2), e1, e2)
-        fused = self.fusion_head.apply(fvars, e1, e2)
+        fvars = self._head_init(jax.random.PRNGKey(seed + 2), e1, e2)
+        self._head_extra_vars = {k: v for k, v in fvars.items() if k != "params"}
+        fvars = {"params": fvars.get("params", {}), **self._head_extra_vars}
+        fused = self._head_apply(fvars, e1, e2)
         # criterion over the fused vector (CrossEntropy or LMCL branch,
         # train_fusion.py:109-116); input dims are inferred, which fixes the
         # reference's latent 1024-vs-1536 shape bug (see PARITY.md)
         cvars = self.criterion.init(
             jax.random.PRNGKey(seed + 3), fused, jnp.zeros((2,), jnp.int32)
         )
-        params = {"fusion": fvars["params"], "criterion": cvars["params"]}
+        params = {"fusion": fvars.get("params", {}), "criterion": cvars["params"]}
         state = TrainState(
             params=params, batch_stats={}, opt_state=self.tx.init(params), step=0
         )
         return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _head_vars(self, params):
+        v = {"params": params["fusion"]}
+        if self._head_extra_vars:
+            v.update(self._head_extra_vars)
+        return v
+
+    def _head_init(self, key, e1, e2):
+        if self.fusion_head_name == "linear":
+            return self.fusion_head.init(key, jnp.concatenate([e1, e2], axis=-1))
+        return self.fusion_head.init(key, e1, e2)
+
+    def _head_apply(self, variables, e1, e2):
+        if self.fusion_head_name == "linear":
+            return self.fusion_head.apply(variables, jnp.concatenate([e1, e2], axis=-1))
+        return self.fusion_head.apply(variables, e1, e2)
 
     def ensure_state(self) -> TrainState:
         if self.state is None:
@@ -223,7 +253,7 @@ class FusionTrainer:
         valid = (group_sizes > 0).astype(jnp.float32)
 
         def loss_fn(params):
-            fused = self.fusion_head.apply({"params": params["fusion"]}, xv_audio, em_video)
+            fused = self._head_apply(self._head_vars(params), xv_audio, em_video)
             per_ex, logits = self.criterion.apply(
                 {"params": params["criterion"]}, fused, labels, reduction="none"
             )
@@ -333,7 +363,7 @@ class FusionTrainer:
                     )
                     em = self._video_group_embed(clips_u8, clip_lengths, group_sizes)
                     if use_fusion_head:
-                        return self.fusion_head.apply({"params": params["fusion"]}, xv, em)
+                        return self._head_apply(self._head_vars(params), xv, em)
                     return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
 
             self._extract_fns[use_fusion_head] = run

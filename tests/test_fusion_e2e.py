@@ -183,3 +183,36 @@ def test_fusion_lmcl_criterion(av_corpus, tmp_path):
     state = trainer.ensure_state()
     state, metrics = trainer._train_step(state, pcm, clips, clip_lengths, valid, labels)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("head,out_dim", [("linear", 24), ("cbp", 24)])
+def test_alternate_fusion_heads(av_corpus, tmp_path, head, out_dim):
+    """The reference's commented-out Linearfusion / CompactBilinearPooling
+    alternates (train_fusion.py:82-84) train end-to-end."""
+    manifest, video_map = av_corpus
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        crop_size=(32, 32), fusion_head=head,
+        exp_root=str(tmp_path / f"exp_{head}"), log_time=f"h_{head}",
+    )
+    trainer.init_encoders()
+    import numpy as _np
+
+    rng = _np.random.default_rng(3)
+    pcm = rng.standard_normal((8, 16000)).astype(_np.float32)
+    clips = rng.integers(0, 255, (8, 1, 8, 96, 96)).astype(_np.uint8)
+    clip_lengths = _np.full((8, 1), 8, _np.int32)
+    labels = rng.integers(0, 3, 8).astype(_np.int64)
+    valid = _np.ones((8,), _np.int32)
+    state = trainer.ensure_state()
+    state, metrics = trainer._train_step(state, pcm, clips, clip_lengths, valid, labels)
+    trainer.state = state  # the step donated the previous state's buffers
+    assert np.isfinite(float(metrics["loss"]))
+    # head output reachable at extraction time too
+    lengths = _np.full((8,), 60, _np.int32)
+    pcm_pad = _np.zeros((8, 16000), _np.float32)
+    out = trainer.extract_pair_embedding(
+        pcm_pad, lengths, clips, clip_lengths, valid, use_fusion_head=True
+    )
+    assert out.shape == (8, out_dim)
