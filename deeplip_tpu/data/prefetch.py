@@ -17,6 +17,33 @@ from typing import Callable, Iterable, Iterator, TypeVar
 T = TypeVar("T")
 
 
+def device_prefetch(batches: Iterable[dict], put: Callable[[dict], dict],
+                    lookahead: int = 2) -> Iterator[dict]:
+    """Double-buffered device transfer: ``put`` (a ``jax.device_put``
+    wrapper) runs ``lookahead`` batches ahead of the consumer, so the
+    host→device copy of batch N+1 overlaps the device step on batch N.
+
+    ``jax.device_put`` is async (it enqueues the transfer and returns
+    immediately), so a simple bounded deque suffices — no thread needed.
+    """
+    from collections import deque
+
+    pending: deque = deque()
+    it = iter(batches)
+    try:
+        for _ in range(lookahead):
+            pending.append(put(next(it)))
+    except StopIteration:
+        pass
+    while pending:
+        out = pending.popleft()
+        try:
+            pending.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class ThreadedPrefetcher:
     """Run ``producer(item)`` for items of ``schedule`` in worker threads,
     yielding results in schedule order with a bounded lookahead."""

@@ -35,6 +35,7 @@ import optax
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
 from deeplip_tpu.data.audio_pipeline import AudioTrainPipeline, EvalUtteranceSet
+from deeplip_tpu.data.prefetch import device_prefetch
 from deeplip_tpu.data.manifest import SpeakerManifest
 from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
 from deeplip_tpu.losses.softmax import AAMSoftmax, LMCL, build_criterion
@@ -298,17 +299,28 @@ class AudioTrainer:
         lab_shard = data_sharding(self.mesh, ndim=1)
         step = int(state.step)
         feats_shard = data_sharding(self.mesh, ndim=3)
+        def put(batch):
+            out = dict(batch)
+            out["labels"] = jax.device_put(batch["labels"], lab_shard)
+            if "feats" in batch:
+                out["feats"] = jax.device_put(batch["feats"], feats_shard)
+            else:
+                out["pcm"] = jax.device_put(batch["pcm"], in_shard)
+            return out
+
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
             margin = jnp.float32(self._margin_for_epoch(epoch))
-            for batch in self.pipeline.epoch(epoch):
-                labels = jax.device_put(batch["labels"], lab_shard)
+            # double-buffered H2D: batch N+1 transfers while step N runs
+            for batch in device_prefetch(self.pipeline.epoch(epoch), put):
                 if "feats" in batch:  # kaldi-format precomputed features
-                    feats = jax.device_put(batch["feats"], feats_shard)
-                    state, metrics = self._train_step_feats(state, feats, labels, margin)
+                    state, metrics = self._train_step_feats(
+                        state, batch["feats"], batch["labels"], margin
+                    )
                 else:
-                    pcm = jax.device_put(batch["pcm"], in_shard)
-                    state, metrics = self._train_step(state, pcm, labels, margin)
+                    state, metrics = self._train_step(
+                        state, batch["pcm"], batch["labels"], margin
+                    )
                 step += 1
                 loss = float(metrics["loss"])
                 guard.check(loss)
