@@ -76,7 +76,11 @@ class AudioTrainPipeline:
             while n < samples_num:
                 utt = speaker[rng.integers(0, len(speaker))]
                 start = int(rng.uniform(0, utt.duration) * utt.rate)
-                y, _ = self.reader(utt.path, start=start, stop=None)
+                # the reference reads start→EOF and truncates after concat
+                # (datasets.py:101,105); reading only the still-needed samples
+                # yields the identical concatenation prefix at a fraction of
+                # the decode cost (files are often much longer than the crop)
+                y, _ = self.reader(utt.path, start=start, stop=start + (samples_num - n))
                 if len(y):
                     pieces.append(y)
                     n += len(y)

@@ -90,7 +90,7 @@ class AVTrainPipeline:
                 if first_utt is None:
                     first_utt = utt
                 start = int(rng.uniform(0, utt.duration) * utt.rate)
-                y, _ = self.reader(utt.path, start=start, stop=None)
+                y, _ = self.reader(utt.path, start=start, stop=start + (samples_num - n))
                 if len(y):
                     pieces.append(y)
                     n += len(y)

@@ -159,6 +159,16 @@ class AudioTrainer:
         self.epochs = int(self.train_opts.get("epoch", 30))
         self.pipeline = self._kaldi_pipeline
         if self.manifest is not None:
+            # native (C++, GIL-free) wav decode when built; 'loader: python'
+            # forces the stdlib reader
+            reader = None
+            if self.train_opts.get("loader", "native") == "native":
+                from deeplip_tpu import native
+
+                if native.available():
+                    reader = native.read_wav
+            from deeplip_tpu.data.audio_io import read_wav as _py_read_wav
+
             self.pipeline = AudioTrainPipeline(
                 self.manifest,
                 self.batch_size,
@@ -168,6 +178,7 @@ class AudioTrainer:
                 rate=self.feat_cfg.rate,
                 n_buckets=int(self.train_opts.get("frame_buckets", 11)),
                 num_workers=int(self.train_opts.get("loader_workers", 8)),
+                reader=reader or _py_read_wav,
             )
 
         steps_per_epoch = self.pipeline.batches_per_epoch() if self.pipeline else 1
