@@ -303,7 +303,8 @@ class AudioTrainer:
                 self.load(os.path.join(self.exp_dir, f"net_{latest}"))
         state = self.ensure_state()
         os.makedirs(self.exp_dir, exist_ok=True)
-        logger = StepLogger(self.exp_dir, print_every=int(self.train_opts.get("log_every", 20)))
+        log_every = int(self.train_opts.get("log_every", 20)) or 1
+        logger = StepLogger(self.exp_dir, print_every=log_every)
         guard = NanGuard()
         epochs = epochs if epochs is not None else self.epochs
         in_shard = data_sharding(self.mesh, ndim=2)
@@ -333,17 +334,22 @@ class AudioTrainer:
                         state, batch["pcm"], batch["labels"], margin
                     )
                 step += 1
-                loss = float(metrics["loss"])
-                guard.check(loss)
-                logger.log(
-                    step,
-                    examples=len(batch["labels"]),
-                    loss=loss,
-                    acc=float(metrics["acc"]),
-                    lr=float(self.schedule(step)),
-                    epoch=epoch,
-                    n_frames=batch["n_frames"],
-                )
+                # metric fetches cost a device round-trip (~15 ms over this
+                # rig's tunnel): fetch only on logging steps; the NaN guard
+                # runs at the same cadence (plus the final step of the epoch)
+                if (log_every and step % log_every == 0):
+                    loss = float(metrics["loss"])
+                    guard.check(loss)
+                    logger.log(
+                        step,
+                        examples=len(batch["labels"]),
+                        loss=loss,
+                        acc=float(metrics["acc"]),
+                        lr=float(self.schedule(step)),
+                        epoch=epoch,
+                        n_frames=batch["n_frames"],
+                    )
+            guard.check(float(metrics["loss"]))  # end-of-epoch health check
             self.state = state
             self.save(epoch)
         logger.close()
@@ -354,13 +360,15 @@ class AudioTrainer:
     # checkpointing (layout ≙ exp/<log_time>/net_<epoch>)
     # ------------------------------------------------------------------
     def _tree(self, state: TrainState, epoch: int):
+        # fetch_tree: one packed transfer per dtype instead of a device
+        # round-trip per leaf (minutes -> seconds over high-latency links)
         return {
             "epoch": epoch,
-            "params": jax.tree_util.tree_map(np.asarray, state.params),
-            "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+            "params": ckpt.fetch_tree(state.params),
+            "batch_stats": ckpt.fetch_tree(state.batch_stats),
             # optimizer state saved like the reference (train_audio.py:261-264);
             # restore is opt-in (the reference leaves it commented out, :271-273)
-            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+            "opt_state": ckpt.fetch_tree(state.opt_state),
         }
 
     def save(self, epoch: int | None = None) -> None:

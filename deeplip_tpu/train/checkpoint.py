@@ -26,6 +26,35 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def fetch_tree(tree: Any) -> Any:
+    """Device→host fetch of a pytree as ONE packed transfer per dtype.
+
+    Per-leaf ``np.asarray`` costs a device round-trip per array — through a
+    high-latency link (e.g. this rig's TPU tunnel) a flagship checkpoint is
+    ~150 leaves ≈ minutes. Packing all same-dtype leaves into one device
+    concatenation makes it a handful of transfers (measured: 155 s → ~2 s).
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    by_dtype: dict = {}
+    for i, leaf in enumerate(leaves):
+        arr = jnp.asarray(leaf)
+        by_dtype.setdefault(str(arr.dtype), []).append((i, arr))
+    out: list = [None] * len(leaves)
+    for _dtype, items in by_dtype.items():
+        flats = [a.ravel() for _, a in items]
+        packed = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else np.asarray(flats[0])
+        off = 0
+        for (i, a), f in zip(items, flats):
+            n = f.shape[0]
+            out[i] = packed[off : off + n].reshape(a.shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _ckpt_dir(exp_dir: str, tag: str | int) -> str:
     name = f"net_{tag}" if not isinstance(tag, str) or not tag.startswith("net") else tag
     return os.path.join(os.path.abspath(exp_dir), name)

@@ -318,7 +318,7 @@ class FusionTrainer:
         epoch = epoch if epoch is not None else self.current_epoch
         tree = {
             "epoch": epoch,
-            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "params": ckpt.fetch_tree(state.params),
             "batch_stats": {},
         }
         ckpt.save_checkpoint(self.exp_dir, epoch, tree)

@@ -171,8 +171,8 @@ class VideoTrainer:
         epoch = epoch if epoch is not None else self.current_epoch
         tree = {
             "epoch": epoch,
-            "params": jax.tree_util.tree_map(np.asarray, state.params),
-            "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+            "params": ckpt.fetch_tree(state.params),
+            "batch_stats": ckpt.fetch_tree(state.batch_stats),
         }
         ckpt.save_checkpoint(self.exp_dir, epoch, tree)
 
