@@ -51,6 +51,7 @@ class Lipreading(nn.Module):
     tcn_width_mult: int = 1
     extract_feats: bool = False
     dtype: jnp.dtype = jnp.float32
+    trunk_layers: tuple[int, ...] = (2, 2, 2, 2)  # ResNet-18 default
 
     @classmethod
     def from_config(cls, cfg: Mapping[str, Any], num_classes: int, extract_feats: bool = False):
@@ -91,7 +92,8 @@ class Lipreading(nn.Module):
                                         name="frontend_bn")
         self.frontend_act = PReLU(name="frontend_prelu") if self.relu_type == "prelu" else nn.relu
         if self.backbone_type == "resnet":
-            self.trunk = ResNetTrunk(relu_type=self.relu_type, dtype=self.dtype, name="trunk")
+            self.trunk = ResNetTrunk(layers=self.trunk_layers, relu_type=self.relu_type,
+                                     dtype=self.dtype, name="trunk")
         elif self.backbone_type == "shufflenet":
             self.trunk = ShuffleNetV2Trunk(width_mult=self.width_mult, name="trunk")
         else:

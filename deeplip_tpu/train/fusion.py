@@ -72,6 +72,7 @@ class FusionTrainer:
         steps_per_epoch: int = 1,
         crop_size: tuple[int, int] = (88, 88),
         video_hidden_dim: int = 256,
+        video_trunk_layers: tuple[int, ...] = (2, 2, 2, 2),
         fusion_head: str = "lowfer",
         loss: str = "CrossEntropy",
         scale: float = 30.0,
@@ -90,8 +91,9 @@ class FusionTrainer:
 
         self.audio_model = SpeakerEmbNet.from_config(audio_model_opts)
         self.video_model = Lipreading.from_config(video_model_cfg, n_spk, extract_feats=True)
-        if video_hidden_dim != 256:
-            self.video_model = self.video_model.clone(hidden_dim=video_hidden_dim)
+        if video_hidden_dim != 256 or tuple(video_trunk_layers) != (2, 2, 2, 2):
+            self.video_model = self.video_model.clone(
+                hidden_dim=video_hidden_dim, trunk_layers=tuple(video_trunk_layers))
         emb_dim = self.audio_model.embedding_dim
         # head selection ≙ the reference's (partly commented) alternates at
         # train_fusion.py:82-84: LowFER (live), Linearfusion, CompactBilinearPooling

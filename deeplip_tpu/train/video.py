@@ -53,6 +53,7 @@ class VideoTrainer:
         extract_feats: bool = False,
         hidden_dim: int = 256,
         compute_dtype: str = "float32",
+        trunk_layers: tuple[int, ...] = (2, 2, 2, 2),
     ):
         self.model_cfg = model_cfg
         self.num_classes = num_classes
@@ -60,8 +61,9 @@ class VideoTrainer:
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.crop_size = crop_size
         self.model = Lipreading.from_config(model_cfg, num_classes, extract_feats=False)
-        if hidden_dim != 256:
-            self.model = self.model.clone(hidden_dim=hidden_dim)
+        if hidden_dim != 256 or tuple(trunk_layers) != (2, 2, 2, 2):
+            self.model = self.model.clone(hidden_dim=hidden_dim,
+                                          trunk_layers=tuple(trunk_layers))
         # bf16 compute for the training step (params/eval stay float32)
         if compute_dtype in ("bf16", "bfloat16"):
             self.train_model = self.model.clone(dtype=jnp.bfloat16)

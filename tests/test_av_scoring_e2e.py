@@ -80,6 +80,7 @@ def test_av_backends_run(av_eval_corpus, tmp_path):
                 "tcn_dropout": 0.2, "tcn_dwpw": False, "tcn_kernel_size": [3],
                 "tcn_num_layers": 1, "tcn_width_mult": 1, "width_mult": 1.0}),
         num_classes=3, mesh=mesh, hidden_dim=8, crop_size=(32, 32),
+        trunk_layers=(1, 1, 1, 1),
         exp_root=str(tmp_path / "exp"), log_time="v",
     )
     vstore = vtrainer.embedding_store(

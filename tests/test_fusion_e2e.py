@@ -80,7 +80,7 @@ def test_fusion_train_and_extract(av_corpus, tmp_path):
         mesh=mesh,
         lr=0.05,
         steps_per_epoch=4,
-        video_hidden_dim=8,
+        video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
         crop_size=(32, 32),
         exp_root=str(tmp_path / "exp"),
         log_time="f0",
@@ -136,7 +136,7 @@ def test_bad_pair_masking(av_corpus, tmp_path):
     manifest, video_map = av_corpus
     trainer = FusionTrainer(
         TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
-        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
         crop_size=(32, 32),
         exp_root=str(tmp_path / "exp2"), log_time="f1",
     )
@@ -166,7 +166,7 @@ def test_fusion_lmcl_criterion(av_corpus, tmp_path):
     manifest, video_map = av_corpus
     trainer = FusionTrainer(
         TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
-        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
         crop_size=(32, 32),
         loss="LMCL", scale=30.0, margin=0.2,
         exp_root=str(tmp_path / "exp3"), log_time="f2",
@@ -192,7 +192,7 @@ def test_alternate_fusion_heads(av_corpus, tmp_path, head, out_dim):
     manifest, video_map = av_corpus
     trainer = FusionTrainer(
         TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=manifest.n_spk,
-        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
         crop_size=(32, 32), fusion_head=head,
         exp_root=str(tmp_path / f"exp_{head}"), log_time=f"h_{head}",
     )

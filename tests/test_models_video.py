@@ -23,7 +23,7 @@ TINY_VIDEO_CFG = {
 def _tiny_lipreading(num_classes=5, extract_feats=False):
     base = Lipreading.from_config(TINY_VIDEO_CFG, num_classes, extract_feats)
     # shrink the TCN for test speed
-    return base.clone(hidden_dim=12)
+    return base.clone(hidden_dim=12, trunk_layers=(1, 1, 1, 1))
 
 
 def test_lipreading_classify_shape():

@@ -106,6 +106,7 @@ def test_video_trainer_e2e(video_corpus, tmp_path):
         exp_root=str(tmp_path / "exp"),
         log_time="v0",
         hidden_dim=12,
+        trunk_layers=(1, 1, 1, 1),
     )
     trainer.train(batches, epochs=2)
     assert os.path.isdir(os.path.join(trainer.exp_dir, "net_2"))
