@@ -10,7 +10,6 @@ thread pool plus a bounded queue suffices to keep the TPU fed; batches are
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Callable, Iterable, Iterator, TypeVar
 

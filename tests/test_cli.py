@@ -203,3 +203,18 @@ def test_cli_fusion_make_trainer(tmp_path):
     assert trainer.n_spk == 2
     vmap = build_video_map(trainer._manifest, vroot)
     assert len(vmap) == 4  # every utterance paired
+
+
+def test_root_shims_help():
+    """The reference-surface shims (python train_*.py) parse --help."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu")
+    for shim in ("train_audio.py", "train_video.py", "train_fusion.py"):
+        res = subprocess.run([_sys.executable, shim, "--help"],
+                             capture_output=True, text=True, env=env,
+                             cwd="/root/repo", timeout=120)
+        assert res.returncode == 0, res.stderr
+        assert "usage" in res.stdout.lower()
