@@ -105,3 +105,22 @@ def test_delta_stacking_dim():
     sig = jnp.asarray(_sig(4000), jnp.float32)
     out = F.extract_features(sig, cfg)
     assert out.shape[-1] == 72
+
+
+@pytest.mark.parametrize("rate,win_len,win_shift,nfilt,ncep", [
+    (16000, 0.020, 0.008, 30, 13),
+    (8000, 0.025, 0.010, 26, 13),
+    (16000, 0.032, 0.016, 40, 20),
+])
+def test_mfcc_parity_config_fuzz(rate, win_len, win_shift, nfilt, ncep):
+    """MFCC parity holds across window/rate/filter configurations."""
+    rng = np.random.default_rng(rate + nfilt)
+    sig = (rng.standard_normal(int(rate * 0.7)) * 0.1)
+    cfg = F.FeatureConfig(feat_type="mfcc", rate=rate, win_len=win_len,
+                          win_shift=win_shift, num_bin=nfilt, num_cep=ncep,
+                          normalize=False)
+    got = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32), cfg))
+    want = O.mfcc(sig, rate=rate, winlen=win_len, winstep=win_shift,
+                  numcep=ncep, nfilt=nfilt)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
