@@ -131,7 +131,8 @@ class VideoTrainer:
                 self.load(os.path.join(self.exp_dir, f"net_{latest}"))
         state = self.ensure_state()
         os.makedirs(self.exp_dir, exist_ok=True)
-        logger = StepLogger(self.exp_dir, print_every=10, prefix="video")
+        log_every = 10
+        logger = StepLogger(self.exp_dir, print_every=log_every, prefix="video")
         guard = NanGuard()
         key = jax.random.PRNGKey(seed)
         step = int(state.step)
@@ -157,10 +158,15 @@ class VideoTrainer:
                     sub,
                 )
                 step += 1
-                loss = float(metrics["loss"])
-                guard.check(loss)
-                logger.log(step, examples=b, loss=loss, acc=float(metrics["acc"]),
-                           lr=float(self.schedule(step)), epoch=epoch)
+                if step % log_every == 0:
+                    loss = float(metrics["loss"])
+                    guard.check(loss)
+                    logger.log(step, examples=b, loss=loss, acc=float(metrics["acc"]),
+                               lr=float(self.schedule(step)), epoch=epoch)
+            guard.check(float(metrics["loss"]))
+            logger.log(step, examples=b, loss=float(metrics["loss"]),
+                       acc=float(metrics["acc"]), lr=float(self.schedule(step)),
+                       epoch=epoch)
             self.state = state
             self.save(epoch)
         logger.close()
