@@ -23,13 +23,18 @@ measured on this host by ``benchmarks/reference_cpu_baseline.py``
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_CPU_TRIALS_PER_SEC = 165.8  # benchmarks/reference_cpu_baseline.py
-N_UNIQUE_UTTS = 3541
+# per-profile CPU baselines from benchmarks/reference_cpu_baseline.py
+# (0.0316 s/utt extraction + 0.43 ms/trial scoring, extrapolated per sweep)
+# BENCH_PROFILE=grid sweeps the GRID-scale workload (25,834 unique utts)
+_PROFILE = os.environ.get("BENCH_PROFILE", "lomgrid")
+REFERENCE_CPU_TRIALS_PER_SEC = 24.2 if _PROFILE == "grid" else 165.8
+N_UNIQUE_UTTS = 25834 if _PROFILE == "grid" else 3541
 N_TRIALS = 20000
 UTT_SECONDS = 3.0
 RATE = 16000
