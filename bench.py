@@ -39,6 +39,8 @@ N_TRIALS = 20000
 UTT_SECONDS = 3.0
 RATE = 16000
 BATCH = 256
+if os.environ.get("BENCH_SMOKE"):  # tiny CI smoke of the driver contract
+    N_UNIQUE_UTTS, N_TRIALS, UTT_SECONDS, BATCH = 48, 96, 0.5, 16
 
 
 def main():
