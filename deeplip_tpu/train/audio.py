@@ -351,7 +351,9 @@ class AudioTrainer:
                     )
             guard.check(float(metrics["loss"]))  # end-of-epoch health check
             self.state = state
-            self.save(epoch)
+            # async: the ~seconds-long write overlaps the next epoch
+            self.save(epoch, asynchronous=True)
+        ckpt.wait_for_saves()
         logger.close()
         self.state = state
         return state
@@ -371,10 +373,12 @@ class AudioTrainer:
             "opt_state": ckpt.fetch_tree(state.opt_state),
         }
 
-    def save(self, epoch: int | None = None) -> None:
+    def save(self, epoch: int | None = None, asynchronous: bool = False) -> None:
         state = self.ensure_state()
         epoch = epoch if epoch is not None else self.current_epoch
-        ckpt.save_checkpoint(self.exp_dir, epoch, self._tree(state, epoch))
+        ckpt.save_checkpoint(
+            self.exp_dir, epoch, self._tree(state, epoch), asynchronous=asynchronous
+        )
 
     def _restore_weights(self, tree) -> None:
         state = self.ensure_state()

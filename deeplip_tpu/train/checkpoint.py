@@ -60,8 +60,34 @@ def _ckpt_dir(exp_dir: str, tag: str | int) -> str:
     return os.path.join(os.path.abspath(exp_dir), name)
 
 
-def save_checkpoint(exp_dir: str, tag: str | int, tree: Any) -> str:
+_async_checkpointer: ocp.AsyncCheckpointer | None = None
+
+
+def _get_async() -> ocp.AsyncCheckpointer:
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        _async_checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_checkpointer
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint writes land."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def save_checkpoint(
+    exp_dir: str, tag: str | int, tree: Any, asynchronous: bool = False
+) -> str:
+    """Write ``net_<tag>``; ``asynchronous=True`` returns immediately and the
+    write overlaps subsequent compute (call :func:`wait_for_saves` — done
+    automatically before any load — to ensure durability)."""
     path = _ckpt_dir(exp_dir, tag)
+    if asynchronous:
+        ckptr = _get_async()
+        ckptr.wait_until_finished()  # at most one write in flight
+        ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
+        return path
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
@@ -69,6 +95,7 @@ def save_checkpoint(exp_dir: str, tag: str | int, tree: Any) -> str:
 
 
 def load_checkpoint(exp_dir: str, tag: str | int, abstract_tree: Any | None = None) -> Any:
+    wait_for_saves()
     path = _ckpt_dir(exp_dir, tag)
     ckptr = ocp.StandardCheckpointer()
     if abstract_tree is None:

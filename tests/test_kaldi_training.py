@@ -186,3 +186,19 @@ def test_optimizer_state_checkpoint_roundtrip(tmp_path):
     assert len(want) == len(got)
     for a, b in zip(want, got):
         np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from deeplip_tpu.train import checkpoint as ckpt
+
+    tree = {"epoch": 1,
+            "params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+            "batch_stats": {}, "opt_state": {}}
+    ckpt.save_checkpoint(str(tmp_path), 1, tree, asynchronous=True)
+    ckpt.wait_for_saves()
+    loaded = ckpt.load_checkpoint(str(tmp_path), 1)
+    np.testing.assert_array_equal(loaded["params"]["w"], tree["params"]["w"])
+    # load without explicit wait must also be safe (implicit wait)
+    ckpt.save_checkpoint(str(tmp_path), 2, tree, asynchronous=True)
+    loaded2 = ckpt.load_checkpoint(str(tmp_path), 2)
+    assert int(loaded2["epoch"]) == 1
