@@ -19,6 +19,41 @@ def test_graft_entry_and_dryrun():
     g.dryrun_multichip(2)
 
 
+def test_dryrun_multichip_8_from_driverlike_env(tmp_path):
+    """Round-1 regression: the driver calls ``dryrun_multichip(8)`` in a
+    process whose sitecustomize already initialized JAX with ONE device
+    (MULTICHIP_r01.json: ``mesh needs 8 devices, have 1``). Reproduce that
+    shape here: a sitecustomize on PYTHONPATH initializes a 1-device JAX at
+    interpreter startup, and no force_host flag is set — dryrun_multichip(8)
+    must still succeed (via its scrubbed-subprocess fallback).
+    """
+    (tmp_path / "sitecustomize.py").write_text(
+        "import jax\njax.devices()  # pin a 1-device backend at startup\n"
+    )
+    env = dict(
+        os.environ,
+        PYTHONPATH=str(tmp_path),
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS="",  # no virtual-device escape hatch in the outer process
+    )
+    code = (
+        "import jax, sys; assert len(jax.devices()) == 1, jax.devices(); "
+        "sys.path.insert(0, '/root/repo'); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-4000:])
+    assert "dryrun_multichip(8)" in res.stdout and "OK" in res.stdout
+
+
 def test_bench_smoke_subprocess():
     """bench.py runs end-to-end (tiny shapes) and prints the JSON contract."""
     import json
