@@ -1,7 +1,17 @@
-"""Parity tests for the on-device audio front-end vs a float64 NumPy oracle.
+"""Parity tests for the on-device audio front-end vs two independent goldens.
+
+Primary golden: a vendored operation-for-operation reconstruction of
+python_speech_features (``tests/third_party/python_speech_features``) —
+the very library the reference calls at
+``/root/reference/models/audio_models/datasets.py:65-83`` — using the real
+``scipy.fftpack.dct`` and decimal ROUND_HALF_UP frame sizing. Secondary
+cross-check: the hand-derived float64 oracle (``tests/oracles/psf_oracle``),
+which shares no code with either; the two goldens are themselves asserted
+to agree, so a shared misreading of the psf algorithm would have to appear
+in two independently written implementations to go undetected.
 
 Parity bar: ≤1e-4 absolute on features computed in float32 on device vs the
-oracle's float64 pipeline (the BASELINE.md embedding bar; feature agreement
+goldens' float64 pipeline (the BASELINE.md embedding bar; feature agreement
 at this tolerance is a superset requirement).
 """
 
@@ -13,6 +23,7 @@ import pytest
 from deeplip_tpu.ops import features as F
 from deeplip_tpu.ops import framing
 from tests.oracles import psf_oracle as O
+from tests.third_party import python_speech_features as psf
 
 RATE = 16000
 
@@ -123,4 +134,73 @@ def test_mfcc_parity_config_fuzz(rate, win_len, win_shift, nfilt, ncep):
     want = O.mfcc(sig, rate=rate, winlen=win_len, winstep=win_shift,
                   numcep=ncep, nfilt=nfilt)
     assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Primary goldens: the vendored python_speech_features reconstruction
+# (the library the reference actually calls, datasets.py:65-83).
+# ---------------------------------------------------------------------------
+
+
+def test_goldens_agree_mfcc_fbank_logfbank():
+    """The two independent float64 goldens must agree with each other."""
+    sig = _sig(6400)
+    np.testing.assert_allclose(psf.mfcc(sig, RATE, numcep=24), O.mfcc(sig),
+                               atol=1e-10)
+    np.testing.assert_allclose(psf.fbank(sig, RATE, nfilt=26)[0],
+                               O.fbank(sig, nfilt=26)[0], atol=1e-10)
+    np.testing.assert_allclose(psf.logfbank(sig, RATE, nfilt=60),
+                               O.logfbank(sig, nfilt=60), atol=1e-10)
+    f = psf.logfbank(sig, RATE, nfilt=26)
+    np.testing.assert_allclose(psf.delta(f, 2), O.delta(f, 2), atol=1e-10)
+
+
+def test_mfcc_parity_vendored_psf():
+    """Reference call shape: mfcc(data, rate, winlen, winstep, numcep)
+    (datasets.py:66) with config numcep=24."""
+    sig = _sig(6400)
+    cfg = F.FeatureConfig(feat_type="mfcc", num_bin=26, num_cep=24,
+                          normalize=False)
+    got = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32), cfg))
+    want = psf.mfcc(sig, RATE, winlen=0.025, winstep=0.01, numcep=24)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nfilt", [24, 26, 60])
+def test_fbank_logfbank_parity_vendored_psf(nfilt):
+    sig = _sig(6400)
+    cfg = F.FeatureConfig(feat_type="fbank", num_bin=nfilt, normalize=False)
+    got = np.asarray(F.fbank(jnp.asarray(sig, jnp.float32), cfg))
+    want, _ = psf.fbank(sig, RATE, winlen=0.025, winstep=0.01, nfilt=nfilt)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    cfg = F.FeatureConfig(feat_type="logfbank", num_bin=nfilt, normalize=False)
+    got = np.asarray(F.logfbank(jnp.asarray(sig, jnp.float32), cfg))
+    np.testing.assert_allclose(got, psf.logfbank(sig, RATE, winlen=0.025,
+                                                 winstep=0.01, nfilt=nfilt),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_delta_parity_vendored_psf():
+    """Reference delta stacking: hstack[feat, delta(N=1), delta(N=2)]
+    (datasets.py:55-62)."""
+    sig = _sig(6400)
+    feat = psf.mfcc(sig, RATE, numcep=24)
+    for n in (1, 2):
+        got = np.asarray(F.delta(jnp.asarray(feat, jnp.float32), n))
+        np.testing.assert_allclose(got, psf.delta(feat, n), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_full_mfcc_cmvn_pipeline_vendored_psf():
+    """End-to-end device path (extract_features) vs the vendored library +
+    the reference's CMVN (datasets.py:52-53)."""
+    sig = _sig(9600, seed=3)
+    cfg = F.FeatureConfig(feat_type="mfcc", num_bin=26, num_cep=24,
+                          normalize=True)
+    got = np.asarray(F.extract_features(jnp.asarray(sig, jnp.float32), cfg))
+    raw = psf.mfcc(sig, RATE, winlen=0.025, winstep=0.01, numcep=24)
+    want = (raw - raw.mean(axis=0)) / (raw.std(axis=0) + 2e-12)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
