@@ -61,6 +61,13 @@ def main():
     state, metrics = trainer._train_step(state, pcm, labels, margin)  # compile
     _ = float(metrics["loss"])  # absorb D2H stall
 
+    from deeplip_tpu.train.flops import compiled_flops, mfu_fields
+
+    # unbound jit wrapper: .lower needs the static `self` passed explicitly
+    step_flops = compiled_flops(
+        type(trainer)._train_step, trainer, state, pcm, labels, margin
+    )
+
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         state, metrics = trainer._train_step(state, pcm, labels, margin)
@@ -68,18 +75,16 @@ def main():
     elapsed = time.perf_counter() - t0
 
     ex_per_sec = BATCH * N_ITERS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "train_examples_per_sec",
-                "value": round(ex_per_sec, 1),
-                "unit": "examples/sec",
-                "ms_per_step": round(elapsed / N_ITERS * 1000, 2),
-                "batch": BATCH,
-                "n_frames": N_FRAMES,
-            }
-        )
-    )
+    record = {
+        "metric": "train_examples_per_sec",
+        "value": round(ex_per_sec, 1),
+        "unit": "examples/sec",
+        "ms_per_step": round(elapsed / N_ITERS * 1000, 2),
+        "batch": BATCH,
+        "n_frames": N_FRAMES,
+    }
+    record.update(mfu_fields(step_flops, N_ITERS / elapsed))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    src = os.path.join(_DIR, "wavio.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.dl_read_wav.restype = ctypes.c_long
@@ -55,6 +59,15 @@ def _load():
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "dl_read_wav_batch_i16"):
+        lib.dl_read_wav_batch_i16.restype = None
+        lib.dl_read_wav_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+        ]
     _lib = lib
     return lib
 
@@ -121,6 +134,45 @@ def read_wav_batch(
         arr_l(np.asarray(starts)),
         arr_l(np.asarray(stops)),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        arr_l(np.asarray(capacities)),
+        wrote.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        n_threads,
+    )
+    return flat, offsets, wrote, rates
+
+
+def read_wav_batch_i16(
+    paths: list[str],
+    starts: list[int],
+    stops: list[int],
+    capacities: list[int],
+    n_threads: int = 4,
+):
+    """Threaded batch decode into one flat int16 buffer (PCM16 payloads are
+    copied without a float round-trip) — half the host->device bytes of the
+    float path; convert on device with ``astype(float32) / 32768``.
+
+    Returns ``(flat_i16, offsets, wrote, rates)`` like :func:`read_wav_batch`.
+    """
+    lib = _load()
+    n = len(paths)
+    offsets = np.zeros((n,), np.int64)
+    np.cumsum(capacities[:-1], out=offsets[1:]) if n > 1 else None
+    flat = np.zeros((int(offsets[-1] + capacities[-1]) if n else 0,), np.int16)
+    wrote = np.zeros((n,), np.int64)
+    rates = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    arr_l = lambda a: np.ascontiguousarray(a, np.int64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_long)
+    )
+    lib.dl_read_wav_batch_i16(
+        c_paths,
+        arr_l(np.asarray(starts)),
+        arr_l(np.asarray(stops)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         arr_l(np.asarray(capacities)),
         wrote.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

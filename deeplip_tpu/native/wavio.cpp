@@ -121,6 +121,56 @@ long read_one(const char* path, long start, long stop, float* out,
   return got;
 }
 
+// int16 variant: PCM16 payloads are a straight channel-0 copy (no float
+// round-trip), so a batch can ship host->device at half the bytes of f32 —
+// the device converts with astype(f32)/32768. Other payload widths are
+// scaled into int16.
+long read_one_i16(const char* path, long start, long stop, int16_t* out,
+                  long capacity, int* rate_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  if (!parse_header(f, &info)) {
+    fclose(f);
+    return -2;
+  }
+  const int bytes_per = info.bits / 8;
+  const long frame_bytes = (long)bytes_per * info.channels;
+  const long total_frames = info.data_bytes / frame_bytes;
+  if (stop < 0 || stop > total_frames) stop = total_frames;
+  if (start < 0) start = 0;
+  if (start > stop) start = stop;
+  long n = stop - start;
+  if (n > capacity) n = capacity;
+  if (rate_out) *rate_out = (int)info.rate;
+  if (n <= 0) {
+    fclose(f);
+    return 0;
+  }
+  fseek(f, info.data_offset + start * frame_bytes, SEEK_SET);
+  std::vector<unsigned char> buf((size_t)n * frame_bytes);
+  long got = (long)fread(buf.data(), frame_bytes, (size_t)n, f);
+  fclose(f);
+  if (info.format == 1 && info.bits == 16) {
+    if (info.channels == 1) {
+      memcpy(out, buf.data(), (size_t)got * 2);
+    } else {
+      for (long i = 0; i < got; ++i) {
+        memcpy(out + i, buf.data() + (size_t)i * frame_bytes, 2);
+      }
+    }
+  } else {
+    for (long i = 0; i < got; ++i) {
+      float v = decode_sample(buf.data() + (size_t)i * frame_bytes, info.bits,
+                              info.format);
+      if (v > 0.999969f) v = 0.999969f;
+      if (v < -1.0f) v = -1.0f;
+      out[i] = (int16_t)(v * 32768.0f);
+    }
+  }
+  return got;
+}
+
 }  // namespace
 
 extern "C" {
@@ -159,6 +209,23 @@ void dl_read_wav_batch(const char** paths, const long* starts, const long* stops
     for (int i = tid; i < n; i += n_threads) {
       wrote[i] = read_one(paths[i], starts[i], stops[i], out + offsets[i],
                           capacities[i], rates ? rates + i : nullptr);
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+  for (auto& th : pool) th.join();
+}
+
+// Threaded batch read into int16 (see read_one_i16).
+void dl_read_wav_batch_i16(const char** paths, const long* starts,
+                           const long* stops, int16_t* out,
+                           const long* offsets, const long* capacities,
+                           long* wrote, int* rates, int n, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      wrote[i] = read_one_i16(paths[i], starts[i], stops[i], out + offsets[i],
+                              capacities[i], rates ? rates + i : nullptr);
     }
   };
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
