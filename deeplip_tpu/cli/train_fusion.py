@@ -78,6 +78,7 @@ def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
         lr_decay=float(train_opts.get("lr_decay", 0.1)),
         exp_root=exp_root,
         log_time=log_time,
+        compute_dtype=str(train_opts.get("compute_dtype", "float32")),
     )
     trainer._manifest = manifest
     audio_resume = train_opts.get("audio_config", {}).get("resume")

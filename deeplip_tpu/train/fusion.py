@@ -42,6 +42,7 @@ from deeplip_tpu.models.tdnn import SpeakerEmbNet
 from deeplip_tpu.ops import features as F
 from deeplip_tpu.ops import video as V
 from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.data.prefetch import device_prefetch
 from deeplip_tpu.train import checkpoint as ckpt
 from deeplip_tpu.train.audio import masked_cmvn
 from deeplip_tpu.train.metrics import NanGuard, StepLogger
@@ -79,6 +80,7 @@ class FusionTrainer:
         margin: float = 0.2,
         exp_root: str = "exp",
         log_time: str | None = None,
+        compute_dtype: str = "float32",
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
@@ -94,6 +96,18 @@ class FusionTrainer:
         if video_hidden_dim != 256 or tuple(video_trunk_layers) != (2, 2, 2, 2):
             self.video_model = self.video_model.clone(
                 hidden_dim=video_hidden_dim, trunk_layers=tuple(video_trunk_layers))
+        # bf16 activation compute for the TRAIN step only (params stay f32;
+        # test-time extraction keeps f32 + 'high' matmul precision — parity):
+        # same convention as train/audio.py:128-132 and train/video.py.
+        self.compute_dtype = str(compute_dtype)
+        if self.compute_dtype in ("bf16", "bfloat16"):
+            self.train_audio_model = self.audio_model.clone(dtype=jnp.bfloat16)
+            self.train_video_model = self.video_model.clone(dtype=jnp.bfloat16)
+            self._train_dtype = jnp.bfloat16
+        else:
+            self.train_audio_model = self.audio_model
+            self.train_video_model = self.video_model
+            self._train_dtype = jnp.float32
         emb_dim = self.audio_model.embedding_dim
         # head selection ≙ the reference's (partly commented) alternates at
         # train_fusion.py:82-84: LowFER (live), Linearfusion, CompactBilinearPooling
@@ -220,20 +234,22 @@ class FusionTrainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def _audio_embed(self, pcm):
+    def _audio_embed(self, pcm, model=None):
+        model = model if model is not None else self.audio_model
         feats = F.extract_features(pcm, self.feat_cfg)
-        xv, _ = self.audio_model.apply(
-            self.audio_vars, feats, method=self.audio_model.extract_embedding
+        xv, _ = model.apply(
+            self.audio_vars, feats, method=model.extract_embedding
         )
         return xv
 
-    def _video_group_embed(self, clips_u8, clip_lengths, group_sizes):
+    def _video_group_embed(self, clips_u8, clip_lengths, group_sizes, model=None):
         """(B, G, T, H, W) uint8 -> (B, D) masked clip-group mean embedding."""
+        model = model if model is not None else self.video_model
         b, g, t = clips_u8.shape[:3]
         x = V.eval_transform(clips_u8.reshape((b * g, t) + clips_u8.shape[3:]),
                              self.crop_size)[..., None]
-        feats = self.video_model.apply(
-            self.video_vars, x, method=self.video_model.frame_features
+        feats = model.apply(
+            self.video_vars, x, method=model.frame_features
         )  # (B*G, T, D)
         fmask = length_mask(clip_lengths.reshape(b * g), t, feats.dtype)[..., None]
         clip_emb = jnp.sum(feats * fmask, axis=1) / jnp.maximum(
@@ -247,15 +263,23 @@ class FusionTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, pcm, clips_u8, clip_lengths, group_sizes, labels):
-        # frozen encoders run outside the grad scope
-        xv_audio = jax.lax.stop_gradient(self._audio_embed(pcm))
+        # frozen encoders run outside the grad scope (bf16 when configured)
+        xv_audio = jax.lax.stop_gradient(
+            self._audio_embed(pcm, model=self.train_audio_model)
+        )
         em_video = jax.lax.stop_gradient(
-            self._video_group_embed(clips_u8, clip_lengths, group_sizes)
+            self._video_group_embed(clips_u8, clip_lengths, group_sizes,
+                                    model=self.train_video_model)
         )
         valid = (group_sizes > 0).astype(jnp.float32)
 
         def loss_fn(params):
-            fused = self._head_apply(self._head_vars(params), xv_audio, em_video)
+            # head compute follows the train dtype; the criterion (tiny, and
+            # margin-sensitive) stays float32 like the audio trainer's loss
+            e1 = xv_audio.astype(self._train_dtype)
+            e2 = em_video.astype(self._train_dtype)
+            fused = self._head_apply(self._head_vars(params), e1, e2)
+            fused = fused.astype(jnp.float32)
             per_ex, logits = self.criterion.apply(
                 {"params": params["criterion"]}, fused, labels, reduction="none"
             )
@@ -292,21 +316,42 @@ class FusionTrainer:
         logger = StepLogger(self.exp_dir, print_every=10, prefix="fusion")
         guard = NanGuard()
         step = int(state.step)
+        shard = {
+            "pcm": data_sharding(self.mesh, 2),
+            "clips": data_sharding(self.mesh, 5),
+            "clip_lengths": data_sharding(self.mesh, 2),
+            "group_sizes": data_sharding(self.mesh, 1),
+            "labels": data_sharding(self.mesh, 1),
+        }
+
+        def put(batch):
+            # pad the batch to a multiple of the mesh so it shards evenly
+            # (mirrors train/video.py; padded rows get group_sizes=0, which
+            # the masked loss already excludes — same semantics as the
+            # reference's bad-pair mask, train_fusion.py:276-288)
+            b = len(batch["labels"])
+            pad = -b % self.n_devices
+            out = {"n_real": b}
+            for k, arr in batch.items():
+                if pad and k in shard:
+                    arr = np.concatenate(
+                        [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                    )
+                out[k] = jax.device_put(arr, shard[k]) if k in shard else arr
+            return out
+
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
-            for batch in pipeline.epoch(epoch):
+            # double-buffered H2D: batch N+1 transfers while step N runs
+            for batch in device_prefetch(pipeline.epoch(epoch), put):
                 state, metrics = self._train_step(
-                    state,
-                    jax.device_put(batch["pcm"], data_sharding(self.mesh, 2)),
-                    jax.device_put(batch["clips"], data_sharding(self.mesh, 5)),
-                    jax.device_put(batch["clip_lengths"], data_sharding(self.mesh, 2)),
-                    jax.device_put(batch["group_sizes"], data_sharding(self.mesh, 1)),
-                    jax.device_put(batch["labels"], data_sharding(self.mesh, 1)),
+                    state, batch["pcm"], batch["clips"], batch["clip_lengths"],
+                    batch["group_sizes"], batch["labels"],
                 )
                 step += 1
                 loss = float(metrics["loss"])
                 guard.check(loss)
-                logger.log(step, examples=len(batch["labels"]), loss=loss,
+                logger.log(step, examples=batch["n_real"], loss=loss,
                            acc=float(metrics["acc"]), epoch=epoch)
             self.state = state
             self.save(epoch)

@@ -216,3 +216,45 @@ def test_alternate_fusion_heads(av_corpus, tmp_path, head, out_dim):
         pcm_pad, lengths, clips, clip_lengths, valid, use_fusion_head=True
     )
     assert out.shape == (8, out_dim)
+
+
+def test_fusion_train_indivisible_batch_bf16(av_corpus, tmp_path):
+    """Round-2 hygiene: a fusion batch with bs % n_devices != 0 must pad and
+    shard cleanly (mirroring train/video.py), under bf16 encoder compute."""
+    manifest, video_map = av_corpus
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert n_dev == 8  # conftest virtual mesh
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL,
+        TINY_VIDEO_CFG,
+        n_spk=manifest.n_spk,
+        audio_data_opts=AUDIO_DATA,
+        mesh=mesh,
+        lr=0.05,
+        steps_per_epoch=2,
+        video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
+        crop_size=(32, 32),
+        exp_root=str(tmp_path / "exp"),
+        log_time="fbf16",
+        compute_dtype="bf16",
+    )
+    trainer.init_encoders()
+    assert trainer.train_audio_model.dtype == np.dtype("bfloat16") or str(
+        trainer.train_audio_model.dtype) == "bfloat16"
+    pipeline = AVTrainPipeline(
+        manifest, video_map, batch_size=6,  # 6 % 8 != 0 -> padded to 8
+        frame_range=(40, 60), n_buckets=1, max_clips=2, clip_frames=8,
+        num_workers=2,
+    )
+    state = trainer.train(pipeline, epochs=1)
+    import jax
+
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, x: a + np.abs(np.asarray(x, np.float32)).sum(),
+        state.params, 0.0)))
+    records = open(os.path.join(trainer.exp_dir, "fusion_metrics.jsonl")).readlines()
+    assert records, "no metrics logged"
+    # params stay float32 even under bf16 compute
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.asarray(leaf).dtype == np.float32
