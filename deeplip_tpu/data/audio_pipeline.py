@@ -160,7 +160,16 @@ class EvalUtteranceSet:
                 y, rate = self.reader(utt.path)
                 n = len(y)
         if rate != self.rate:
-            n = int(n * self.rate / rate)
+            # exact resample_poly output length: ceil(n * up / down) after
+            # gcd reduction (== audio_io.resample, ≙ librosa.resample at
+            # /root/reference/models/audio_models/datasets.py:462) — a
+            # truncating estimate was ±1 sample off on e.g. the GRID 44.1 kHz
+            # path, which could put an utterance one feature-frame short
+            from math import gcd
+
+            g = gcd(rate, self.rate)
+            up, down = self.rate // g, rate // g
+            n = -(-n * up // down)
         return utt, n
 
     def _assemble(self, chunk: list[tuple[EvalUtterance, int, int]]) -> dict:

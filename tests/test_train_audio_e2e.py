@@ -175,3 +175,41 @@ def test_attentive_pooling_trainer_path(corpus, tmp_path):
     state = trainer.ensure_state()
     state, metrics = trainer._train_step(state, pcm, labels, jnp.float32(0.2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_set_resampled_length_exact(tmp_path):
+    """Round-2 regression (ROADMAP item): the header-based length estimate
+    for files needing resampling must match resample_poly's actual output
+    EXACTLY — the truncating estimate was ±1 sample (potentially one feature
+    frame) off on the GRID 44.1 kHz path
+    (reference semantics: datasets.py:399-464 via librosa.resample)."""
+    from deeplip_tpu.data.audio_io import read_wav, resample, write_wav
+    from deeplip_tpu.ops.framing import num_frames
+
+    rng = np.random.default_rng(5)
+    utts = []
+    # awkward sample counts: n*160/441 non-integral for 44.1k; plus 22.05k
+    for i, (rate, n) in enumerate(
+        [(44100, 132301), (44100, 131777), (22050, 44101), (16000, 12345)]
+    ):
+        p = str(tmp_path / f"u{i}_{rate}.wav")
+        write_wav(p, (rng.standard_normal(n) * 0.1).astype(np.float32), rate)
+        utts.append(EvalUtterance(name=f"u{i}", path=p))
+
+    es = EvalUtteranceSet(utts, rate=16000, batch_size=2, bucket_frames=10,
+                          num_workers=1)
+    for utt in utts:
+        _, n_est = es._utt_samples(utt)
+        y, sr = read_wav(utt.path)
+        y16 = resample(y, sr, 16000)
+        assert n_est == len(y16), (utt.path, n_est, len(y16))
+
+    # feat_lengths in the emitted batches match the true frame counts
+    true_frames = {}
+    for utt in utts:
+        y, sr = read_wav(utt.path)
+        y16 = resample(y, sr, 16000)
+        true_frames[utt.name] = num_frames(len(y16), es.frame_len, es.frame_step)
+    for batch in es.batches():
+        for name, t in zip(batch["names"], batch["feat_lengths"]):
+            assert int(t) == true_frames[name], (name, int(t), true_frames[name])
