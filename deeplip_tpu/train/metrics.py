@@ -16,13 +16,21 @@ import time
 
 
 class StepLogger:
-    def __init__(self, exp_dir: str | None = None, print_every: int = 10, prefix: str = "train"):
+    def __init__(self, exp_dir: str | None = None, print_every: int = 10, prefix: str = "train",
+                 tensorboard: bool = True):
         self.print_every = print_every
         self.prefix = prefix
         self._file = None
+        self._tb = None
         if exp_dir:
             os.makedirs(exp_dir, exist_ok=True)
             self._file = open(os.path.join(exp_dir, f"{prefix}_metrics.jsonl"), "a")
+            if tensorboard:
+                # scalars visible via `tensorboard --logdir <exp_root>`
+                # (closes the reference's dead SummaryWriter, train_video.py:25,78)
+                from deeplip_tpu.train.tb_events import TBEventWriter
+
+                self._tb = TBEventWriter(os.path.join(exp_dir, "tb"))
         self._t0 = time.perf_counter()
         self._last_time = self._t0
         self._last_step = 0
@@ -41,6 +49,12 @@ class StepLogger:
         if self._file is not None:
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(
+                step,
+                {f"{self.prefix}/{k}": v for k, v in record.items()
+                 if k not in ("step", "time") and isinstance(v, float)},
+            )
         if self.print_every and step % self.print_every == 0:
             parts = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
@@ -52,6 +66,8 @@ class StepLogger:
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class NanGuard:

@@ -2,6 +2,7 @@
 
 import os
 import subprocess
+import pytest
 import sys
 
 import jax.numpy as jnp
@@ -151,3 +152,28 @@ def test_profile_trace_smoke(tmp_path):
     with profile_trace(logdir):
         _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
     assert os.path.isdir(logdir)
+
+
+def test_tb_event_writer_readable_by_real_tensorboard(tmp_path):
+    """The hand-encoded event file must parse with the REAL tensorboard
+    reader (installed in this env) and round-trip the scalar values."""
+    pytest.importorskip("tensorboard")
+    from deeplip_tpu.train.metrics import StepLogger
+
+    logger = StepLogger(str(tmp_path / "exp"), print_every=0, prefix="train")
+    logger.log(1, examples=8, loss=2.5, acc=0.25)
+    logger.log(2, examples=8, loss=1.25, acc=0.5)
+    logger.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "exp" / "tb"))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/loss", "train/acc"} <= tags, tags
+    losses = {e.step: e.value for e in acc.Scalars("train/loss")}
+    assert losses[1] == pytest.approx(2.5) and losses[2] == pytest.approx(1.25)
+    accs = {e.step: e.value for e in acc.Scalars("train/acc")}
+    assert accs[2] == pytest.approx(0.5)
