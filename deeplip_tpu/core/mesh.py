@@ -61,9 +61,22 @@ def make_mesh(
     return Mesh(dev_array, tuple(names))
 
 
+DCN_AXIS = "dcn"
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension over ``axis``; replicate the rest."""
-    spec = P(axis, *([None] * (ndim - 1)))
+    """Shard the leading (batch) dimension over the data-parallel mesh axes;
+    replicate the rest.
+
+    On a multi-host ``(dcn, data)`` mesh (core/distributed.py) the batch is
+    sharded over BOTH axes, so each host's devices hold distinct rows and
+    XLA's gradient all-reduce decomposes hierarchically (ICI inner, DCN
+    outer)."""
+    if DCN_AXIS in mesh.axis_names and axis == DATA_AXIS:
+        batch_axes: tuple | str = (DCN_AXIS, DATA_AXIS)
+    else:
+        batch_axes = axis
+    spec = P(batch_axes, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
 

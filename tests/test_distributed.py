@@ -7,9 +7,12 @@ reductions) are exact reductions, so any divergence beyond float noise is a
 sharding bug.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import data_sharding, make_mesh
@@ -108,3 +111,79 @@ def test_embeddings_identical_across_mesh_sizes(tmp_path):
         )
         outs.append(np.asarray(out))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_two_process_dcn_mesh_train_step(tmp_path):
+    """Multi-host readiness (VERDICT r1 #9): two OS processes initialize
+    jax.distributed (gloo CPU collectives), build the (dcn, data) mesh from
+    core/distributed.py, and run ONE sharded audio train step each — the
+    loss must be finite and identical across ranks (same data, same params,
+    all-reduced grads)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "rank.py"
+    script.write_text(
+        """
+import sys
+proc = int(sys.argv[1]); n = int(sys.argv[2]); addr = sys.argv[3]
+sys.path.insert(0, "/root/repo")
+from deeplip_tpu.core.distributed import initialize, make_multihost_mesh, dp_spec
+initialize(addr, num_processes=n, process_id=proc)
+import jax, numpy as np
+import jax.numpy as jnp
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+mesh = make_multihost_mesh()
+assert mesh.devices.shape == (2, 2) and mesh.axis_names == ("dcn", "data")
+
+from deeplip_tpu.core.config import Config
+from deeplip_tpu.core.mesh import data_sharding
+from deeplip_tpu.ops.framing import samples_for_frames
+from deeplip_tpu.train.audio import AudioTrainer
+
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import _train_config
+
+trainer = AudioTrainer(_train_config(bs=8), mesh=mesh, n_spk=16)
+state = trainer.ensure_state()
+samples = samples_for_frames(60, trainer.feat_cfg.win_len,
+                             trainer.feat_cfg.win_shift, trainer.feat_cfg.rate)
+rng = np.random.default_rng(0)
+pcm = jax.device_put(rng.standard_normal((8, samples)).astype(np.float32),
+                     data_sharding(mesh, 2))
+labels = jax.device_put(rng.integers(0, 16, 8).astype(np.int64),
+                        data_sharding(mesh, 1))
+state, metrics = trainer._train_step(state, pcm, labels, jnp.float32(0.2))
+loss = float(metrics["loss"])
+assert np.isfinite(loss)
+print(f"RANK{proc} loss={loss:.6f}", flush=True)
+"""
+    )
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo",
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    addr = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(r), "2", addr],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-3000:])
+    losses = []
+    for out, _ in outs:
+        line = [l for l in out.splitlines() if l.startswith("RANK")][0]
+        losses.append(float(line.split("loss=")[1]))
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
