@@ -118,6 +118,7 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         b = len(chunk)
         pcm = np.zeros((b, max_s), np.float32)
         lengths = np.zeros((b,), np.int32)
+        sample_lengths = np.zeros((b,), np.int32)
         h = w = 96
         clips = np.zeros((b, max_clips, clip_frames, h, w), np.uint8)
         clip_lengths = np.zeros((b, max_clips), np.int32)
@@ -125,6 +126,7 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         for r, (y, group) in enumerate(zip(pcm_list, clip_groups)):
             pcm[r, : len(y)] = y
             lengths[r] = num_frames(len(y), 400, 160)
+            sample_lengths[r] = len(y)
             for g, cp in enumerate(group):
                 d = load_clip(cp)[:clip_frames]
                 clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
@@ -133,6 +135,7 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         fused = trainer.extract_pair_embedding(
             pcm, lengths, clips, clip_lengths, group_sizes,
             use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),
+            sample_lengths=sample_lengths,
         )
         for r, name in enumerate(chunk):
             store[name] = fused[r]

@@ -177,13 +177,20 @@ class EvalUtteranceSet:
         s_max = samples_for_frames(bucket_t, self.win_len, self.win_shift, self.rate)
         pcm = np.zeros((len(chunk), s_max), np.float32)
         lengths = np.zeros((len(chunk),), np.int32)
+        sample_lengths = np.zeros((len(chunk),), np.int32)
         names = []
         for row, (utt, t, _) in enumerate(chunk):
             _, y = self._load(utt)
             pcm[row, : min(len(y), s_max)] = y[:s_max]
             lengths[row] = t
+            # true PCM length: the device front-end masks pre-emphasis here
+            # so padded batches reproduce the reference's emphasize-then-pad
+            # order exactly (a padded-PCM pre-emphasis leaks one sample into
+            # the last valid frame otherwise)
+            sample_lengths[row] = min(len(y), s_max)
             names.append(utt.name)
-        return {"names": names, "pcm": pcm, "feat_lengths": lengths}
+        return {"names": names, "pcm": pcm, "feat_lengths": lengths,
+                "sample_lengths": sample_lengths}
 
     def batches(self) -> Iterator[dict]:
         """Yields ``{names, pcm (B, S), feat_lengths (B,)}`` per bucket chunk.

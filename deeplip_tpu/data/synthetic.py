@@ -61,20 +61,41 @@ def make_audio_corpus(
 
 
 def make_trial_list(
-    path: str, manifest: SpeakerManifest, n_trials: int = 200, seed: int = 0
+    path: str,
+    manifest: SpeakerManifest,
+    n_trials: int = 200,
+    seed: int = 0,
+    balance: float | None = None,
 ) -> None:
-    """GRID-style trial file ``<label> <spk/utt.wav> <spk/utt.wav>``."""
+    """GRID-style trial file ``<label> <spk/utt.wav> <spk/utt.wav>``
+    (format of /root/reference/database/trial_grid_v1.txt).
+
+    ``balance`` forces that fraction of trials to be target (same-speaker)
+    pairs, matching the roughly balanced composition of the reference's
+    released 20k-trial protocols; ``None`` samples pairs uniformly.
+    """
     rng = np.random.default_rng(seed)
     utts = manifest.all_utterances()
+    by_spk: dict[int, list] = {}
+    for s, u in utts:
+        by_spk.setdefault(s, []).append(u)
+
+    def rel(u):
+        return "/".join(u.path.split(os.sep)[-2:])
+
     with open(path, "w") as f:
-        for _ in range(n_trials):
-            (s1, u1), (s2, u2) = (
-                utts[rng.integers(len(utts))],
-                utts[rng.integers(len(utts))],
-            )
-            name1 = "/".join(u1.path.split(os.sep)[-2:])
-            name2 = "/".join(u2.path.split(os.sep)[-2:])
-            f.write(f"{int(s1 == s2)} {name1} {name2}\n")
+        for i in range(n_trials):
+            if balance is not None and rng.uniform() < balance:
+                s = int(rng.integers(len(by_spk)))
+                pool = by_spk[s]
+                u1, u2 = pool[rng.integers(len(pool))], pool[rng.integers(len(pool))]
+                f.write(f"1 {rel(u1)} {rel(u2)}\n")
+            else:
+                (s1, u1), (s2, u2) = (
+                    utts[rng.integers(len(utts))],
+                    utts[rng.integers(len(utts))],
+                )
+                f.write(f"{int(s1 == s2)} {rel(u1)} {rel(u2)}\n")
 
 
 def synth_video_clip(

@@ -244,7 +244,10 @@ def add_deltas(feat: jnp.ndarray, order: int = 2) -> jnp.ndarray:
 
 
 def extract_features(
-    signal: jnp.ndarray, cfg: FeatureConfig, backend: str = "xla"
+    signal: jnp.ndarray,
+    cfg: FeatureConfig,
+    backend: str = "xla",
+    sample_lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full front-end dispatch matching ``_extract_feature`` semantics
     (``datasets.py:65-83``): feature → optional CMVN → optional Δ/ΔΔ.
@@ -252,7 +255,26 @@ def extract_features(
     Input ``(..., S)`` float PCM; output ``(..., T, D)`` time-major features.
     ``backend='pallas'`` routes the mel front-ends through the fused VMEM
     kernel (``ops.pallas.fbank_kernel``); 'xla' is the default matmul path.
+
+    ``sample_lengths`` (leading-dims-shaped) marks the true PCM length of
+    each row in a zero-padded batch. The reference pipeline pre-emphasizes
+    the exact-length signal and zero-pads *after* (``psf.sigproc.framesig``
+    via ``datasets.py:65-83``); pre-emphasizing padded PCM instead leaks
+    ``-coeff·signal[n-1]`` into padding position ``n``, which always lands
+    inside the last valid frame and breaks padded-vs-exact equality. With
+    lengths given, pre-emphasis is applied here and masked, and the inner
+    front-ends run with ``preemph=0`` (an exact no-op).
     """
+    if sample_lengths is not None and cfg.preemph:
+        import dataclasses
+
+        from deeplip_tpu.ops.framing import preemphasis
+
+        emph = preemphasis(signal, cfg.preemph)
+        idx = jnp.arange(signal.shape[-1])
+        mask = idx < jnp.asarray(sample_lengths)[..., None]
+        signal = emph * mask.astype(signal.dtype)
+        cfg = dataclasses.replace(cfg, preemph=0.0)
     if backend == "pallas" and cfg.feat_type in ("mfcc", "fbank", "logfbank"):
         from deeplip_tpu.ops.pallas.fbank_kernel import pallas_audio_features
 

@@ -31,12 +31,32 @@ buffered, batch-tiled).
 Numerics match ``ops.features`` exactly (same basis matrices, f32; verified
 on hardware ≤2.5e-5).
 
-Performance status (measured, one v5e, 128×48000 batch): ~2.9 ms vs ~1.55 ms
-for the XLA matmul path. The gap is structural: Mosaic requires lane-aligned
-operands, so the hop dimension pads 160→256 and the DFT matmuls carry 1.9×
-wasted FLOPs, while XLA multiplies the unpadded (T, 400) frames directly.
-The XLA path therefore stays the default front-end; this kernel documents
-the fused-VMEM design and is selected with ``backend='pallas'``.
+Round-1 kernel (``_feature_kernel``, kept as the fallback): hop-blocked
+decomposition. Measured 2.9 ms vs 1.55 ms XLA at 128×48000 — the 160-lane
+hop pads to 256 (1.9× wasted DFT FLOPs) and the 257-bin output pads to 384.
+
+Round-2 kernel (``_feature_kernel_v2``, the default): **residue-class
+decomposition with zero pad waste**. Frame starts ``t·h mod 128`` cycle
+with period ``p = 128/gcd(h, 128)`` (h=160 → p=4, offsets {0,32,64,96}).
+Frames of residue ``r`` read a 128-aligned window of ``ceil((off_r+L)/128)``
+row blocks against a basis zero-shifted by ``off_r`` — every matmul is an
+exact ``(U, 128) @ (128, 512)`` with **no padded lanes**:
+
+- the 512-wide RHS is the lane-concat ``[cos_256 | sin_256]`` so one MXU op
+  produces both quadratures;
+- the odd 257th (Nyquist) bin folds into the sin basis's structurally-zero
+  column 0: ``power[0]`` absorbs ``re_0² + nyq²``, which is exact for both
+  the mel projection (mel filter weight at bin 0 is structurally zero) and
+  the energy row-sum (``Σ packed == Σ true`` by construction);
+- no strided access: the row array is viewed ``(B, G, stride, 128)`` in HBM
+  and the ``stride`` stride-planes are DMA'd separately, so the per-residue
+  row ``stride·u + c`` becomes plane ``c%stride`` sublanes ``u + c//stride``
+  — a static 1-sublane shift, which Mosaic lowers as a cheap rotation.
+
+Per-frame DFT FLOPs: ``nblk·128·512·2`` = 524k vs the v1 kernel's 790k and
+XLA's (T,400)@(400,514) 411k — within 1.27× of unpadded while eliminating
+the ~270 MB/batch HBM round trip of materialized frames + power spectrum
+that makes the XLA path bandwidth-bound.
 """
 
 from __future__ import annotations

@@ -459,10 +459,11 @@ class AudioTrainer:
         precision = self.test_opts.get("matmul_precision", "high")
 
         @jax.jit
-        def embed(params, batch_stats, pcm, feat_lengths):
+        def embed(params, batch_stats, pcm, feat_lengths, sample_lengths):
             with jax.default_matmul_precision(precision):
                 feats = F.extract_features(
-                    pcm, self.eval_feat_cfg, backend=self.feature_backend
+                    pcm, self.eval_feat_cfg, backend=self.feature_backend,
+                    sample_lengths=sample_lengths,
                 )
                 if self.feat_cfg.normalize:
                     feats = masked_cmvn(feats, feat_lengths)
@@ -491,16 +492,20 @@ class AudioTrainer:
         in_shard = data_sharding(self.mesh, ndim=2)
         for batch in utterances.batches():
             pcm, lengths, names = batch["pcm"], batch["feat_lengths"], batch["names"]
+            slen = batch["sample_lengths"]
             pad = -len(names) % self.n_devices
             if pad:
                 pcm = np.concatenate([pcm, np.zeros((pad,) + pcm.shape[1:], pcm.dtype)])
                 lengths = np.concatenate([lengths, np.ones((pad,), lengths.dtype)])
+                slen = np.concatenate([slen, np.ones((pad,), slen.dtype)])
+            len_shard = data_sharding(self.mesh, ndim=1)
             out = np.asarray(
                 embed(
                     state.params,
                     state.batch_stats,
                     jax.device_put(pcm, in_shard),
-                    jax.device_put(lengths, data_sharding(self.mesh, ndim=1)),
+                    jax.device_put(lengths, len_shard),
+                    jax.device_put(slen, len_shard),
                 )
             )
             for i, name in enumerate(names):

@@ -387,7 +387,7 @@ class FusionTrainer:
     # ------------------------------------------------------------------
     def extract_pair_embedding(
         self, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes,
-        use_fusion_head: bool = False,
+        use_fusion_head: bool = False, sample_lengths=None,
     ) -> np.ndarray:
         """Per-utterance fused test embedding.
 
@@ -399,9 +399,14 @@ class FusionTrainer:
         if use_fusion_head not in self._extract_fns:
 
             @jax.jit
-            def run(params, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes):
+            def run(params, pcm, feat_lengths, sample_lengths, clips_u8,
+                    clip_lengths, group_sizes):
                 with jax.default_matmul_precision("high"):
-                    feats = F.extract_features(pcm, self.raw_feat_cfg)
+                    # sample_lengths mask the padded-PCM pre-emphasis leak
+                    # (see ops.features.extract_features)
+                    feats = F.extract_features(
+                        pcm, self.raw_feat_cfg, sample_lengths=sample_lengths
+                    )
                     if self.feat_cfg.normalize:
                         feats = masked_cmvn(feats, feat_lengths)
                     xv, _ = self.audio_model.apply(
@@ -414,8 +419,11 @@ class FusionTrainer:
                     return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
 
             self._extract_fns[use_fusion_head] = run
+        if sample_lengths is None:
+            sample_lengths = np.full((len(pcm),), pcm.shape[-1], np.int32)
         return np.asarray(
             self._extract_fns[use_fusion_head](
-                state.params, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes
+                state.params, pcm, feat_lengths, sample_lengths, clips_u8,
+                clip_lengths, group_sizes
             )
         )

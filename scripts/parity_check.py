@@ -13,11 +13,23 @@ Usage (synthetic self-test, no external data needed)::
 
     python scripts/parity_check.py --selftest [--device cpu]
 
+Full 20,000-trial GRID protocol (reference list format,
+``/root/reference/database/trial_grid_v1.txt``; EER must be bit-equal)::
+
+    python scripts/parity_check.py --full [--device cpu]
+
 With real artifacts::
 
     python scripts/parity_check.py --ckpt exp/ref/net_avg.pth \
         --wav-root data/grid_wav --trials database/trial_grid_v1.txt \
         --arch etdnn
+
+``--full`` synthesizes a GRID-layout corpus (speaker-colored audio), briefly
+trains the TORCH reference net on it (an untrained net collapses all
+embeddings into a ~1e-6 cosine band, making EER ill-conditioned), then runs
+the complete protocol through both pipelines with the shared weights and
+asserts embeddings ≤1e-4 and bit-identical EER from the reference formula
+(/root/reference/models/audio_models/utils.py:246-248).
 """
 
 from __future__ import annotations
@@ -82,6 +94,48 @@ def build_torch_net(torch, contexts, dims, emb_dim):
     return Net().eval()
 
 
+def train_torch_net(torch, net, feats_by_utt, labels_by_utt, emb_dim, n_spk,
+                    steps, crop=100, bs=32, seed=0):
+    """Spread the random net's embeddings with a short cosine-CE fit.
+
+    Mirrors the reference's LMCL recipe minus the margin (scale-30 cosine
+    logits, /root/reference/models/audio_models/loss.py) — just enough
+    training that same/different-speaker cosines separate and the EER
+    comparison is well-conditioned. BN running stats update in train mode,
+    exactly as the reference trainer would leave them.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    names = sorted(feats_by_utt)
+    w = torch.nn.Parameter(torch.randn(n_spk, emb_dim) * 0.1)
+    opt = torch.optim.Adam(list(net.parameters()) + [w], lr=1e-3)
+    net.train()
+    for step in range(steps):
+        picks = rng.choice(len(names), size=bs)
+        batch, labels = [], []
+        for i in picks:
+            f = feats_by_utt[names[i]]
+            start = rng.integers(max(len(f) - crop, 0) + 1)
+            chunk = f[start:start + crop]
+            if len(chunk) < crop:
+                chunk = np.pad(chunk, ((0, crop - len(chunk)), (0, 0)))
+            batch.append(chunk.T)
+            labels.append(labels_by_utt[names[i]])
+        x = torch.tensor(np.stack(batch), dtype=torch.float32)
+        y = torch.tensor(labels)
+        emb = net.extract(x)
+        logits = 30.0 * emb @ torch.nn.functional.normalize(w).T
+        loss = torch.nn.functional.cross_entropy(logits, y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if step % 10 == 0 or step == steps - 1:
+            print(f"  torch pre-train step {step}: loss {loss.item():.4f}",
+                  file=sys.stderr)
+    net.eval()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None, help="reference net_*.pth (torch)")
@@ -91,8 +145,25 @@ def main() -> None:
     p.add_argument("--emb-dim", type=int, default=512)
     p.add_argument("--selftest", action="store_true",
                    help="synthesize checkpoint + corpus + trials")
+    p.add_argument("--full", action="store_true",
+                   help="complete 20k-trial GRID protocol on a synthetic "
+                        "corpus; asserts bit-equal EER")
+    p.add_argument("--n-spk", type=int, default=None)
+    p.add_argument("--utts-per-spk", type=int, default=None)
+    p.add_argument("--n-trials", type=int, default=None)
+    p.add_argument("--train-steps", type=int, default=None,
+                   help="torch pre-training steps before the comparison")
+    p.add_argument("--report", default=None, help="also write the JSON here")
     p.add_argument("--device", default=None, choices=[None, "cpu"])
     args = p.parse_args()
+
+    if args.full:
+        args.selftest = True
+    n_spk_c = args.n_spk or (20 if args.full else 3)
+    utts_per_spk = args.utts_per_spk or (20 if args.full else 3)
+    n_trials = args.n_trials or (20000 if args.full else 100)
+    train_steps = args.train_steps if args.train_steps is not None else (
+        60 if args.full else 0)
 
     if args.device == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -116,16 +187,30 @@ def main() -> None:
         work = tempfile.mkdtemp(prefix="parity_")
         from deeplip_tpu.data.synthetic import make_audio_corpus, make_trial_list
 
-        make_audio_corpus(work, n_spk=3, utts_per_spk=3, duration=1.5)
+        make_audio_corpus(work, n_spk=n_spk_c, utts_per_spk=utts_per_spk,
+                          duration=1.5)
         manifest = SpeakerManifest.load(os.path.join(work, "manifest.csv"))
         trials_path = os.path.join(work, "trials.txt")
-        make_trial_list(trials_path, manifest, n_trials=100)
+        make_trial_list(trials_path, manifest, n_trials=n_trials,
+                        balance=0.5 if args.full else None)
         tnet = build_torch_net(torch, contexts, dims, args.emb_dim)
         with torch.no_grad():
             for m in tnet.modules():
                 if isinstance(m, torch.nn.BatchNorm1d):
                     m.running_mean.normal_(0, 0.3)
                     m.running_var.uniform_(0.5, 2.0)
+        if train_steps:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+            from benchmarks.reference_cpu_baseline import numpy_mfcc
+
+            feats, labels = {}, {}
+            for s, u in manifest.all_utterances():
+                name = "/".join(u.path.split(os.sep)[-2:])
+                y, _ = read_wav(u.path)
+                feats[name] = numpy_mfcc(y.astype(np.float64)).astype(np.float32)
+                labels[name] = s
+            train_torch_net(torch, tnet, feats, labels, args.emb_dim,
+                            n_spk=n_spk_c, steps=train_steps)
         ckpt_path = os.path.join(work, "net_ref.pth")
         torch.save({"epoch": 0, "state_dict": tnet.state_dict()}, ckpt_path)
         wav_root = work
@@ -196,12 +281,20 @@ def main() -> None:
         step=state.step,
     )
     ours_store = trainer.extract_embeddings(
-        EvalUtteranceSet(utts, batch_size=8, bucket_frames=50, num_workers=2)
+        EvalUtteranceSet(utts, batch_size=32 if args.full else 8,
+                         bucket_frames=50, num_workers=4 if args.full else 2)
     )
 
     # ---- compare ---------------------------------------------------------
     diffs = [float(np.abs(ours_store[u.name] - torch_store[u.name]).max())
              for u in utts]
+    order = np.argsort(diffs)[::-1]
+    print("  worst utterances:", file=sys.stderr)
+    for i in order[:5]:
+        print(f"    {utts[i].name}: {diffs[i]:.3e}", file=sys.stderr)
+    print(f"  diff percentiles p50={np.percentile(diffs, 50):.3e} "
+          f"p90={np.percentile(diffs, 90):.3e} max={max(diffs):.3e}",
+          file=sys.stderr)
     # trial scores compared directly: with an untrained --selftest net the
     # embeddings are near-degenerate (cosines in a ~1e-6 band), so EER is
     # ill-conditioned even at perfect parity; score agreement is the real bar
@@ -223,11 +316,17 @@ def main() -> None:
         "max_trial_score_abs_diff": float(np.abs(s_ref - s_ours).max()),
         "eer_reference_torch": eer_ref,
         "eer_deeplip_tpu": eer_ours,
+        "eer_bit_equal": eer_ref == eer_ours,
         "embedding_parity_bar_1e-4": max(diffs) <= 1e-4,
     }
     print(json.dumps(report, indent=2))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
     if not report["embedding_parity_bar_1e-4"]:
         raise SystemExit(1)
+    if args.full and not report["eer_bit_equal"]:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

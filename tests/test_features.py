@@ -204,3 +204,35 @@ def test_full_mfcc_cmvn_pipeline_vendored_psf():
     raw = psf.mfcc(sig, RATE, winlen=0.025, winstep=0.01, numcep=24)
     want = (raw - raw.mean(axis=0)) / (raw.std(axis=0) + 2e-12)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_padded_batch_preemphasis_masking():
+    """Zero-padding PCM must not change valid frames.
+
+    Pre-emphasizing padded PCM leaks ``-coeff*signal[n-1]`` into padding
+    position ``n``, which always lands inside the LAST valid frame (the
+    psf/reference order is emphasize-then-pad, datasets.py:65-83 via
+    sigproc.framesig). ``sample_lengths`` masks it; this was a real eval-path
+    parity bug (~1e-3 embedding error on trained nets) that collapsed
+    untrained test nets had hidden.
+    """
+    from deeplip_tpu.ops.framing import num_frames
+
+    rng = np.random.default_rng(11)
+    n = 25314
+    sig = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    t = num_frames(n, 400, 160)
+    cfg = F.FeatureConfig(feat_type="mfcc", num_bin=26, num_cep=24,
+                          normalize=False)
+    exact = np.asarray(F.extract_features(sig[None], cfg))
+
+    padded = np.zeros((1, n + 4000), np.float32)
+    padded[0, :n] = sig
+    # without lengths: the leak corrupts the last valid frame
+    leaky = np.asarray(F.extract_features(padded, cfg))
+    assert np.abs(leaky[0, :t] - exact[0]).max() > 1e-2
+
+    fixed = np.asarray(
+        F.extract_features(padded, cfg, sample_lengths=np.array([n]))
+    )
+    np.testing.assert_allclose(fixed[0, :t], exact[0], atol=2e-5, rtol=1e-5)
