@@ -64,6 +64,33 @@ def make_mesh(
 DCN_AXIS = "dcn"
 
 
+def param_sharding(mesh: Mesh, tree):
+    """Pytree of shardings for a train state: classifier weights sharded
+    over MODEL_AXIS, everything else replicated.
+
+    The speaker-classifier weight ``(num_classes, emb_dim)`` of the margin
+    softmax heads (``losses/softmax.py``) is the only parameter that grows
+    with the corpus (production speaker sets reach 10⁵–10⁶ classes, ≫ the
+    ~20 MB trunk), so it gets the classic Megatron-style output-parallel
+    treatment: rows (classes) sharded over ``model``; the cross-entropy's
+    logsumexp over the sharded class axis becomes one XLA-inserted psum.
+    Optimizer-state leaves under the same ``criterion`` subtree match shape
+    and shard identically; on a mesh without a ``model`` axis this is
+    exactly :func:`replicated_sharding`.
+    """
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model = sizes.get(MODEL_AXIS, 1)
+
+    def leaf(path, x):
+        if model > 1 and getattr(x, "ndim", 0) == 2 and x.shape[0] % model == 0:
+            keys = {getattr(p, "key", getattr(p, "name", "")) for p in path}
+            if "criterion" in keys:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension over the data-parallel mesh axes;
     replicate the rest.

@@ -33,7 +33,8 @@ import numpy as np
 import optax
 
 from deeplip_tpu.core.config import Config
-from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.core.mesh import (data_sharding, make_mesh, param_sharding,
+                                   replicated_sharding)
 from deeplip_tpu.data.audio_pipeline import AudioTrainPipeline, EvalUtteranceSet
 from deeplip_tpu.data.prefetch import device_prefetch
 from deeplip_tpu.data.manifest import SpeakerManifest
@@ -232,7 +233,8 @@ class AudioTrainer:
         batch_stats = {"model": mvars["batch_stats"]}
         opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=0)
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        # classifier rows shard over a 'model' mesh axis when present
+        return jax.device_put(state, param_sharding(self.mesh, state))
 
     def ensure_state(self) -> TrainState:
         if self.state is None:
@@ -382,7 +384,8 @@ class AudioTrainer:
 
     def _restore_weights(self, tree) -> None:
         state = self.ensure_state()
-        params = jax.device_put(tree["params"], replicated_sharding(self.mesh))
+        params = jax.device_put(tree["params"],
+                                param_sharding(self.mesh, tree["params"]))
         stats = jax.device_put(tree["batch_stats"], replicated_sharding(self.mesh))
         self.state = TrainState(
             params=params,
@@ -407,7 +410,8 @@ class AudioTrainer:
             self.state = TrainState(
                 params=state.params,
                 batch_stats=state.batch_stats,
-                opt_state=jax.device_put(opt_state, replicated_sharding(self.mesh)),
+                opt_state=jax.device_put(
+                    opt_state, param_sharding(self.mesh, opt_state)),
                 step=state.step,
             )
         self.current_epoch = int(tree.get("epoch", 0))

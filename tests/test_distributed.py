@@ -108,6 +108,8 @@ def test_embeddings_identical_across_mesh_sizes(tmp_path):
             state.batch_stats,
             jax.device_put(pcm, data_sharding(mesh, 2)),
             jax.device_put(lengths, data_sharding(mesh, 1)),
+            jax.device_put(np.full((8,), samples, np.int32),
+                           data_sharding(mesh, 1)),
         )
         outs.append(np.asarray(out))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
@@ -187,3 +189,32 @@ print(f"RANK{proc} loss={loss:.6f}", flush=True)
         line = [l for l in out.splitlines() if l.startswith("RANK")][0]
         losses.append(float(line.split("loss=")[1]))
     assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
+
+
+def test_tensor_parallel_classifier_matches_data_parallel():
+    """(data=2, model=2): classifier rows sharded Megatron-style
+    (core/mesh.py:param_sharding) must reproduce the pure-DP trajectory —
+    GSPMD inserts the logsumexp psum over the sharded class axis."""
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(2)
+    samples = samples_for_frames(50, 0.025, 0.01, 16000)
+    pcm = rng.standard_normal((8, samples)).astype(np.float32)
+    labels = rng.integers(0, 4, 8).astype(np.int64)
+
+    mesh_dp = make_mesh([("data", 4)], devices=jax.devices()[:4])
+    mesh_tp = make_mesh([("data", 2), ("model", 2)], devices=jax.devices()[:4])
+    loss_dp, params_dp = _run_steps(mesh_dp, pcm, labels)
+    loss_tp, params_tp = _run_steps(mesh_tp, pcm, labels)
+
+    # the criterion weight is actually sharded on the tp mesh
+    from deeplip_tpu.core.mesh import param_sharding
+    from deeplip_tpu.train.audio import AudioTrainer
+    tr = AudioTrainer(TINY, mesh=mesh_tp, n_spk=4)
+    st = tr.ensure_state()
+    w = st.params["criterion"]["weights"]
+    assert "model" in str(w.sharding.spec), w.sharding
+
+    assert abs(loss_dp - loss_tp) < 1e-4, (loss_dp, loss_tp)
+    for a, b in zip(jax.tree_util.tree_leaves(params_dp),
+                    jax.tree_util.tree_leaves(params_tp)):
+        np.testing.assert_allclose(a, b, atol=5e-4)

@@ -177,3 +177,32 @@ def test_tb_event_writer_readable_by_real_tensorboard(tmp_path):
     assert losses[1] == pytest.approx(2.5) and losses[2] == pytest.approx(1.25)
     accs = {e.step: e.value for e in acc.Scalars("train/acc")}
     assert accs[2] == pytest.approx(0.5)
+
+
+def test_parity_check_trained_net(tmp_path):
+    """End-to-end parity harness with a TRAINED torch reference net.
+
+    Round 1 ran this only with untrained (embedding-collapsed) nets, which
+    masked a real eval-path bug (padded-PCM pre-emphasis leak, ~1e-3 on
+    trained weights). Trained weights make the bar meaningful: embeddings
+    ≤1e-4 and bit-equal EER.
+    """
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report = tmp_path / "report.json"
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "parity_check.py"),
+         "--selftest", "--arch", "tdnn", "--n-spk", "4", "--utts-per-spk", "4",
+         "--n-trials", "200", "--train-steps", "25", "--device", "cpu",
+         "--report", str(report)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(report.read_text())
+    assert rep["embedding_parity_bar_1e-4"], rep
+    assert rep["eer_bit_equal"], rep
