@@ -41,8 +41,12 @@ def main():
     mesh = make_mesh()
     rng = np.random.default_rng(0)
 
+    batches = tuple(
+        int(b) for b in (sys.argv[2].split(",") if len(sys.argv) > 2 else
+                         ("32", "64", "128"))
+    )
     for dtype in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["bf16"]):
-        for batch in (32, 64, 128, 256):
+        for batch in batches:
             trainer = VideoTrainer(cfg, num_classes=500, mesh=mesh,
                                    compute_dtype=dtype)
             state = trainer.ensure_state()

@@ -52,15 +52,35 @@ def scan_clip_dir(data_dir: str, label_list: Sequence[str] | None = None) -> lis
     return clips
 
 
+def _squeeze_channel(data: np.ndarray) -> np.ndarray:
+    if data.ndim == 4 and data.shape[-1] == 1:
+        data = data[..., 0]
+    return np.ascontiguousarray(data)
+
+
 def load_clip(path: str) -> np.ndarray:
     """(T, H, W) uint8 frames from npz (key 'data') or npy (dataset.py:80-88)."""
     if path.endswith(".npz"):
         data = np.load(path)["data"]
     else:
         data = np.load(path)
-    if data.ndim == 4 and data.shape[-1] == 1:
-        data = data[..., 0]
-    return np.ascontiguousarray(data)
+    return _squeeze_channel(data)
+
+
+def load_clips(paths: Sequence[str], num_threads: int = 4) -> list[np.ndarray]:
+    """Batch clip load; uses the native threaded npz reader when built
+    (zip walk + inflate + npy parse run GIL-free in C++), else np.load."""
+    from deeplip_tpu import native
+
+    if native.npy_available():
+        try:
+            return [
+                _squeeze_channel(a)
+                for a in native.read_npy_batch(list(paths), n_threads=num_threads)
+            ]
+        except (IOError, ValueError):
+            pass  # unusual container (zip64, fortran order): fall back
+    return [load_clip(p) for p in paths]
 
 
 class VideoClipBatches:
@@ -94,16 +114,24 @@ class VideoClipBatches:
             data = data[: self.max_frames]
         return clip, data
 
+    def _load_all(self, clips: Sequence[VideoClip]) -> list[tuple[VideoClip, np.ndarray]]:
+        from deeplip_tpu import native
+
+        if native.npy_available():
+            arrays = load_clips([c.path for c in clips], num_threads=self.num_workers)
+            if self.max_frames:
+                arrays = [a[: self.max_frames] for a in arrays]
+            return list(zip(clips, arrays))
+        return list(
+            ThreadedPrefetcher(clips, self._load, num_workers=self.num_workers)
+        )
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         order = np.arange(len(self.clips))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch_idx))
             rng.shuffle(order)
-        loaded = list(
-            ThreadedPrefetcher(
-                [self.clips[i] for i in order], self._load, num_workers=self.num_workers
-            )
-        )
+        loaded = self._load_all([self.clips[i] for i in order])
         items = []
         for clip, data in loaded:
             t = len(data)

@@ -59,6 +59,21 @@ def _load():
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "dl_read_npy_batch"):
+        lib.dl_read_npy.restype = ctypes.c_long
+        lib.dl_read_npy.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+        ]
+        lib.dl_read_npy_batch.restype = None
+        lib.dl_read_npy_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int, ctypes.c_int,
+        ]
     if hasattr(lib, "dl_read_wav_batch_i16"):
         lib.dl_read_wav_batch_i16.restype = None
         lib.dl_read_wav_batch_i16.argtypes = [
@@ -142,6 +157,67 @@ def read_wav_batch(
         n_threads,
     )
     return flat, offsets, wrote, rates
+
+
+def npy_available() -> bool:
+    """True when the built library has the npy/npz entry points."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "dl_read_npy_batch")
+
+
+def read_npy_batch(
+    paths: list[str], key: str = "data", n_threads: int = 4
+) -> list[np.ndarray]:
+    """Threaded batch read of npy/npz arrays (GIL-free zip walk + inflate +
+    header parse in C++). ``key`` selects the npz member (ignored for plain
+    .npy files). Returns one ndarray per path.
+
+    Native fast path for the reference's per-clip ``np.load(...)['data']``
+    (``models/video_models/dataset.py:80-88``) and the embedding-npz groups
+    the fusion back-ends glob (``models/audio_models/utils.py:357-373``).
+    """
+    lib = _load()
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_key = key.encode()
+    shapes = np.zeros((n, 8), np.int64)
+    ndims = np.zeros((n,), np.int32)
+    descrs = ctypes.create_string_buffer(n * 8)
+    wrote = np.zeros((n,), np.int64)
+    zeros = np.zeros((n,), np.int64)
+    as_l = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+
+    # pass 1: probe payload sizes + shapes (capacity 0)
+    lib.dl_read_npy_batch(
+        c_paths, c_key, None, as_l(zeros), as_l(zeros), as_l(wrote),
+        as_l(shapes), ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        descrs, n, n_threads,
+    )
+    bad = np.nonzero(wrote < 0)[0]
+    if bad.size:
+        raise IOError(f"dl_read_npy({paths[bad[0]]!r}) failed: {wrote[bad[0]]}")
+
+    offsets = np.zeros((n,), np.int64)
+    np.cumsum(wrote[:-1], out=offsets[1:])
+    flat = np.empty((int(offsets[-1] + wrote[-1]),), np.uint8)
+
+    # pass 2: payload copy
+    sizes = wrote.copy()
+    lib.dl_read_npy_batch(
+        c_paths, c_key, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        as_l(offsets), as_l(sizes), as_l(wrote), as_l(shapes),
+        ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), descrs, n, n_threads,
+    )
+    out = []
+    for i in range(n):
+        if wrote[i] < 0:
+            raise IOError(f"dl_read_npy({paths[i]!r}) failed: {wrote[i]}")
+        descr = descrs.raw[i * 8 : (i + 1) * 8].split(b"\0", 1)[0].decode()
+        arr = flat[int(offsets[i]) : int(offsets[i] + wrote[i])].view(np.dtype(descr))
+        out.append(arr.reshape(tuple(shapes[i, : ndims[i]])))
+    return out
 
 
 def read_wav_batch_i16(

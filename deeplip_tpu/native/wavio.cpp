@@ -16,6 +16,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 struct WavInfo {
@@ -171,6 +173,226 @@ long read_one_i16(const char* path, long start, long stop, int16_t* out,
   return got;
 }
 
+// ---------------------------------------------------------------------------
+// npy / npz reading (video mouth-ROI clips and embedding stores).
+//
+// The reference loads every clip with np.load(path)['data'] inside DataLoader
+// workers (models/video_models/dataset.py:80-88). Here the zip walk, inflate
+// (np.savez_compressed) and npy header parse run in C++ threads, GIL-free:
+// one batch call fills a flat buffer the Python side slices per clip.
+
+struct NpyMeta {
+  long shape[8];
+  int ndim = 0;
+  char descr[8] = {0};   // e.g. "|u1", "<f4"
+  long payload = 0;      // bytes of array data
+  long header_bytes = 0; // offset of data within the npy stream
+};
+
+// Parse an npy header from `buf` (at least the first `n` bytes of the file).
+// Returns true and fills meta (payload from total stream size `stream_bytes`,
+// or -1 if unknown) on success.
+bool parse_npy_header(const unsigned char* buf, long n, long stream_bytes,
+                      NpyMeta* meta) {
+  if (n < 10 || memcmp(buf, "\x93NUMPY", 6) != 0) return false;
+  int major = buf[6];
+  long hlen, hoff;
+  if (major == 1) {
+    hlen = buf[8] | buf[9] << 8;
+    hoff = 10;
+  } else {
+    if (n < 12) return false;
+    hlen = buf[8] | buf[9] << 8 | buf[10] << 16 | (long)buf[11] << 24;
+    hoff = 12;
+  }
+  if (hoff + hlen > n) return false;
+  std::string h((const char*)buf + hoff, (size_t)hlen);
+  size_t d = h.find("'descr'");
+  if (d == std::string::npos) return false;
+  size_t q1 = h.find('\'', d + 7);
+  size_t q2 = (q1 == std::string::npos) ? q1 : h.find('\'', q1 + 1);
+  if (q2 == std::string::npos || q2 - q1 - 1 >= sizeof(meta->descr)) return false;
+  memcpy(meta->descr, h.data() + q1 + 1, q2 - q1 - 1);
+  meta->descr[q2 - q1 - 1] = 0;
+  if (h.find("'fortran_order': True") != std::string::npos) return false;
+  size_t s = h.find("'shape'");
+  if (s == std::string::npos) return false;
+  size_t p1 = h.find('(', s);
+  size_t p2 = (p1 == std::string::npos) ? p1 : h.find(')', p1);
+  if (p2 == std::string::npos) return false;
+  meta->ndim = 0;
+  long cur = -1;
+  for (size_t i = p1 + 1; i <= p2; ++i) {
+    char c = h[i];
+    if (c >= '0' && c <= '9') {
+      cur = (cur < 0 ? 0 : cur) * 10 + (c - '0');
+    } else if (cur >= 0) {
+      if (meta->ndim >= 8) return false;
+      meta->shape[meta->ndim++] = cur;
+      cur = -1;
+    }
+  }
+  meta->header_bytes = hoff + hlen;
+  meta->payload = stream_bytes >= 0 ? stream_bytes - meta->header_bytes : -1;
+  return true;
+}
+
+inline uint16_t rd16(const unsigned char* p) { return (uint16_t)(p[0] | p[1] << 8); }
+inline uint32_t rd32(const unsigned char* p) {
+  return p[0] | p[1] << 8 | p[2] << 16 | (uint32_t)p[3] << 24;
+}
+
+struct ZipEntry {
+  uint16_t method = 0;
+  long comp_size = 0;
+  long uncomp_size = 0;
+  long data_offset = 0;  // byte offset of (compressed) payload in the file
+};
+
+// Locate `name` via the central directory (local headers alone are not
+// reliable: zipfile streams with data descriptors, leaving local sizes 0).
+bool zip_find(FILE* f, const char* name, ZipEntry* out) {
+  if (fseek(f, 0, SEEK_END) != 0) return false;
+  long fsize = ftell(f);
+  long tail = fsize < 66000 ? fsize : 66000;
+  std::vector<unsigned char> buf((size_t)tail);
+  fseek(f, fsize - tail, SEEK_SET);
+  if ((long)fread(buf.data(), 1, (size_t)tail, f) != tail) return false;
+  long eocd = -1;
+  for (long i = tail - 22; i >= 0; --i) {
+    if (memcmp(buf.data() + i, "PK\x05\x06", 4) == 0) {
+      eocd = i;
+      break;
+    }
+  }
+  if (eocd < 0) return false;
+  uint32_t cd_off = rd32(buf.data() + eocd + 16);
+  uint16_t n_entries = rd16(buf.data() + eocd + 10);
+  if (cd_off == 0xFFFFFFFFu) return false;  // zip64: not produced by np.savez at these sizes
+  fseek(f, (long)cd_off, SEEK_SET);
+  size_t name_len_want = strlen(name);
+  for (int e = 0; e < n_entries; ++e) {
+    unsigned char ch[46];
+    if (fread(ch, 1, 46, f) != 46 || memcmp(ch, "PK\x01\x02", 4) != 0) return false;
+    uint16_t nlen = rd16(ch + 28), xlen = rd16(ch + 30), clen = rd16(ch + 32);
+    std::string ename((size_t)nlen, 0);
+    if (fread(&ename[0], 1, nlen, f) != nlen) return false;
+    long next = ftell(f) + xlen + clen;
+    if (nlen == name_len_want && memcmp(ename.data(), name, nlen) == 0) {
+      out->method = rd16(ch + 10);
+      out->comp_size = (long)rd32(ch + 20);
+      out->uncomp_size = (long)rd32(ch + 24);
+      long lho = (long)rd32(ch + 42);
+      unsigned char lh[30];
+      fseek(f, lho, SEEK_SET);
+      if (fread(lh, 1, 30, f) != 30 || memcmp(lh, "PK\x03\x04", 4) != 0) return false;
+      out->data_offset = lho + 30 + rd16(lh + 26) + rd16(lh + 28);
+      return true;
+    }
+    fseek(f, next, SEEK_SET);
+  }
+  return false;
+}
+
+// Inflate `comp` (raw deflate) producing up to `out_cap` bytes; returns bytes
+// produced or -1. `finish_all=false` stops once out_cap is filled (header
+// probe); true requires the full stream to fit.
+long inflate_raw(const unsigned char* comp, long comp_size, unsigned char* out,
+                 long out_cap, bool finish_all) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return -1;
+  zs.next_in = const_cast<unsigned char*>(comp);
+  zs.avail_in = (uInt)comp_size;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  int rc = inflate(&zs, Z_FINISH);
+  long produced = out_cap - (long)zs.avail_out;
+  inflateEnd(&zs);
+  if (rc == Z_STREAM_END) return produced;
+  if (!finish_all && rc == Z_OK && zs.avail_out == 0) return produced;
+  if (!finish_all && rc == Z_BUF_ERROR && zs.avail_out == 0) return produced;
+  return -1;
+}
+
+// Read array `key` from an npz/npy file. Pass capacity 0 (out may be null)
+// to probe: fills meta and returns the payload byte count without copying.
+// With capacity >= payload, writes the raw array bytes to `out`.
+// Returns payload bytes, or <0 on error.
+long read_npy_entry(const char* path, const char* key, unsigned char* out,
+                    long capacity, NpyMeta* meta) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char magic[4] = {0};
+  size_t got_magic = fread(magic, 1, 4, f);
+  bool is_zip = got_magic == 4 && memcmp(magic, "PK\x03\x04", 4) == 0;
+
+  long result = -2;
+  if (!is_zip) {
+    // plain .npy
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    long probe = fsize < 4096 ? fsize : 4096;
+    std::vector<unsigned char> head((size_t)probe);
+    fseek(f, 0, SEEK_SET);
+    if ((long)fread(head.data(), 1, (size_t)probe, f) == probe &&
+        parse_npy_header(head.data(), probe, fsize, meta)) {
+      result = meta->payload;
+      if (capacity >= meta->payload && out != nullptr) {
+        fseek(f, meta->header_bytes, SEEK_SET);
+        if ((long)fread(out, 1, (size_t)meta->payload, f) != meta->payload)
+          result = -3;
+      }
+    }
+  } else {
+    std::string entry = std::string(key) + ".npy";
+    ZipEntry ze;
+    if (zip_find(f, entry.c_str(), &ze)) {
+      if (ze.method == 0) {
+        // stored: the npy stream sits uncompressed at data_offset
+        long probe = ze.uncomp_size < 4096 ? ze.uncomp_size : 4096;
+        std::vector<unsigned char> head((size_t)probe);
+        fseek(f, ze.data_offset, SEEK_SET);
+        if ((long)fread(head.data(), 1, (size_t)probe, f) == probe &&
+            parse_npy_header(head.data(), probe, ze.uncomp_size, meta)) {
+          result = meta->payload;
+          if (capacity >= meta->payload && out != nullptr) {
+            fseek(f, ze.data_offset + meta->header_bytes, SEEK_SET);
+            if ((long)fread(out, 1, (size_t)meta->payload, f) != meta->payload)
+              result = -3;
+          }
+        }
+      } else if (ze.method == 8) {
+        std::vector<unsigned char> comp((size_t)ze.comp_size);
+        fseek(f, ze.data_offset, SEEK_SET);
+        if ((long)fread(comp.data(), 1, (size_t)ze.comp_size, f) ==
+            ze.comp_size) {
+          long probe = ze.uncomp_size < 4096 ? ze.uncomp_size : 4096;
+          std::vector<unsigned char> head((size_t)probe);
+          long got = inflate_raw(comp.data(), ze.comp_size, head.data(), probe,
+                                 /*finish_all=*/probe == ze.uncomp_size);
+          if (got == probe &&
+              parse_npy_header(head.data(), probe, ze.uncomp_size, meta)) {
+            result = meta->payload;
+            if (capacity >= meta->payload && out != nullptr) {
+              std::vector<unsigned char> full((size_t)ze.uncomp_size);
+              if (inflate_raw(comp.data(), ze.comp_size, full.data(),
+                              ze.uncomp_size, true) == ze.uncomp_size) {
+                memcpy(out, full.data() + meta->header_bytes,
+                       (size_t)meta->payload);
+              } else {
+                result = -3;
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+  fclose(f);
+  return result;
+}
+
 }  // namespace
 
 extern "C" {
@@ -209,6 +431,41 @@ void dl_read_wav_batch(const char** paths, const long* starts, const long* stops
     for (int i = tid; i < n; i += n_threads) {
       wrote[i] = read_one(paths[i], starts[i], stops[i], out + offsets[i],
                           capacities[i], rates ? rates + i : nullptr);
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+  for (auto& th : pool) th.join();
+}
+
+// npy/npz array read. capacity 0 probes: fills shape/ndim/descr and returns
+// payload bytes. capacity >= payload copies raw array bytes into out.
+// shape must hold 8 longs; descr 8 chars. Returns payload bytes or <0.
+long dl_read_npy(const char* path, const char* key, unsigned char* out,
+                 long capacity, long* shape, int* ndim, char* descr) {
+  NpyMeta meta;
+  long rc = read_npy_entry(path, key, out, capacity, &meta);
+  if (rc >= 0) {
+    for (int i = 0; i < meta.ndim; ++i) shape[i] = meta.shape[i];
+    *ndim = meta.ndim;
+    memcpy(descr, meta.descr, 8);
+  }
+  return rc;
+}
+
+// Threaded batch npy/npz read: file i writes to out + offsets[i] (probe pass:
+// all capacities 0, out may be null). wrote[i] = payload bytes or <0;
+// shapes[i*8..], ndims[i], descrs[i*8..].
+void dl_read_npy_batch(const char** paths, const char* key, unsigned char* out,
+                       const long* offsets, const long* capacities, long* wrote,
+                       long* shapes, int* ndims, char* descrs, int n,
+                       int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      wrote[i] = dl_read_npy(paths[i], key, out ? out + offsets[i] : nullptr,
+                             capacities[i], shapes + (size_t)i * 8, ndims + i,
+                             descrs + (size_t)i * 8);
     }
   };
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);

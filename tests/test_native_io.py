@@ -70,3 +70,55 @@ def test_native_in_pipeline(tmp_path):
     batch = next(iter(pipe.epoch(0)))
     assert batch["pcm"].shape[0] == 4
     assert np.isfinite(batch["pcm"]).all()
+
+
+@pytest.mark.skipif(not native.npy_available(), reason="native npy reader unavailable")
+def test_native_npy_batch_matches_numpy(tmp_path):
+    """dl_read_npy_batch == np.load for npz (stored + deflate) and plain npy,
+    across dtypes — the clip formats of models/video_models/dataset.py:80-88
+    and the embedding stores of utils.py:357-373."""
+    rng = np.random.default_rng(0)
+    cases = []
+    a = rng.integers(0, 255, (29, 96, 96)).astype(np.uint8)
+    p = str(tmp_path / "clip.npz"); np.savez(p, data=a); cases.append((p, a))
+    b = rng.standard_normal((1, 17, 512)).astype(np.float32)
+    p = str(tmp_path / "emb.npz"); np.savez_compressed(p, data=b); cases.append((p, b))
+    c = rng.integers(0, 255, (12, 50, 50, 1)).astype(np.uint8)
+    p = str(tmp_path / "raw.npy"); np.save(p, c); cases.append((p, c))
+    e = rng.integers(-5, 5, (7,)).astype(np.int64)
+    p = str(tmp_path / "lab.npz"); np.savez_compressed(p, data=e); cases.append((p, e))
+    outs = native.read_npy_batch([p for p, _ in cases], n_threads=3)
+    for (path, ref), got in zip(cases, outs):
+        assert got.dtype == ref.dtype and got.shape == ref.shape, path
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not native.npy_available(), reason="native npy reader unavailable")
+def test_native_clip_loader_in_dataset(tmp_path):
+    """VideoClipBatches batches are identical with and without the native
+    npz reader (including the trailing-channel squeeze and max_frames)."""
+    from deeplip_tpu.data.video_dataset import VideoClipBatches, scan_clip_dir
+
+    rng = np.random.default_rng(1)
+    for spk in ("s1", "s2"):
+        d = tmp_path / "corpus" / spk
+        d.mkdir(parents=True)
+        for i in range(3):
+            clip = rng.integers(0, 255, (10 + i, 24, 24, 1)).astype(np.uint8)
+            np.savez(str(d / f"c{i}.npz"), data=clip)
+    clips = scan_clip_dir(str(tmp_path / "corpus"))
+    batches = VideoClipBatches(clips, batch_size=4, shuffle=False, max_frames=11)
+    native_batches = list(batches.epoch(0))
+    import deeplip_tpu.native as nat
+    orig = nat.npy_available
+    nat.npy_available = lambda: False
+    try:
+        py_batches = list(batches.epoch(0))
+    finally:
+        nat.npy_available = orig
+    assert len(native_batches) == len(py_batches)
+    for nb, pb in zip(native_batches, py_batches):
+        np.testing.assert_array_equal(nb["clips"], pb["clips"])
+        np.testing.assert_array_equal(nb["lengths"], pb["lengths"])
+        np.testing.assert_array_equal(nb["labels"], pb["labels"])
+        assert nb["names"] == pb["names"]
