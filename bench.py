@@ -18,6 +18,14 @@ a real PCM16 wav corpus is synthesized to tmpfs, decoded through
 embedded batch-by-batch overlapped with the decode — i.e. nothing is
 pre-staged on device. Same metric, extra ``"profile": "hostio"`` field.
 
+Timing methodology (r2): this rig's remote-tunnel runtime returns from
+``block_until_ready`` before execution finishes, so the bench chains K
+sweeps through a value-preserving data dependency and times to a real
+device->host fetch of the final scores — the only operation that provably
+waits (calibration: ``benchmarks/timing_calibration.py``; harness notes:
+``benchmarks/_timing.py``). On a normal PCIe TPU host the same code is
+simply a correct synchronous measurement.
+
 Prints ONE JSON line:
   {"metric": "verification_trials_per_sec", "value": ..., "unit":
    "trials/sec", "vs_baseline": ..., "tflops_per_sec": ..., "mfu": ...}
@@ -92,16 +100,25 @@ def main():
             )
             return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
 
-    def embed_batch(variables, key):
-        pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
-        return embed_pcm(variables, pcm)
-
     @jax.jit
-    def sweep(variables, keys, pairs):
+    def sweep(variables, keys, pairs, eps):
         # the whole extraction sweep + scoring in ONE device program:
         # lax.map sequences the batches on device, removing per-batch host
-        # dispatch latency (material through this rig's stdio relay)
-        embs = jax.lax.map(lambda k: embed_batch(variables, k), keys)
+        # dispatch latency (material through this rig's stdio relay).
+        #
+        # ``eps`` is (1,) f32 carried from the previous sweep's scores: a
+        # STRUCTURAL dependency that chains repeated sweeps so none can be
+        # elided by the remote runtime (see benchmarks/_timing.py — on this
+        # rig block_until_ready does not wait for remote execution, so the
+        # bench must chain K sweeps and force a fetch). Its contribution
+        # (score * 1e-38, subnormal) vanishes in the f32 addition, so every
+        # sweep computes bit-identical scores.
+        def embed_batch(key):
+            pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
+            pcm = pcm + eps[0] * 1e-38
+            return embed_pcm(variables, pcm)
+
+        embs = jax.lax.map(embed_batch, keys)
         e = embs.reshape(-1, embs.shape[-1])[:N_UNIQUE_UTTS]
         a = jnp.take(e, pairs[:, 0], axis=0)
         b = jnp.take(e, pairs[:, 1], axis=0)
@@ -122,13 +139,18 @@ def main():
         elapsed = N_TRIALS / trials_per_sec
     else:
         # warm-up: compile and absorb the relay's first-transfer stall
-        _ = np.asarray(sweep(variables, keys, pairs)[:8])
+        zeps = jnp.zeros((1,), jnp.float32)
+        scores = sweep(variables, keys, pairs, zeps)
+        _ = np.asarray(scores[:8])
 
+        # timed: K chained sweeps, fetch-forced (np.asarray of the final
+        # scores completes only after every chained sweep has executed)
+        k_sweeps = 2 if os.environ.get("BENCH_SMOKE") else 8
         t0 = time.perf_counter()
-        scores = sweep(variables, keys, pairs)
-        scores.block_until_ready()
-        elapsed = time.perf_counter() - t0
+        for _ in range(k_sweeps):
+            scores = sweep(variables, keys, pairs, scores[:1])
         scores_host = np.asarray(scores)
+        elapsed = (time.perf_counter() - t0) / k_sweeps
         assert scores_host.shape == (N_TRIALS,) and np.all(np.isfinite(scores_host))
         trials_per_sec = N_TRIALS / elapsed
 

@@ -58,6 +58,8 @@ def main():
     )
     margin = jnp.float32(0.2)
 
+    from benchmarks._timing import force_fetch
+
     state, metrics = trainer._train_step(state, pcm, labels, margin)  # compile
     _ = float(metrics["loss"])  # absorb D2H stall
 
@@ -68,10 +70,13 @@ def main():
         type(trainer)._train_step, trainer, state, pcm, labels, margin
     )
 
+    # chained steps (state feeds forward), timed to a forcing fetch — see
+    # benchmarks/_timing.py for why block_until_ready is not enough here
+    force_fetch(state.params)
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         state, metrics = trainer._train_step(state, pcm, labels, margin)
-    jax.block_until_ready(state.params)
+    force_fetch(state.params)
     elapsed = time.perf_counter() - t0
 
     ex_per_sec = BATCH * N_ITERS / elapsed

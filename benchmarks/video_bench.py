@@ -48,19 +48,26 @@ def main():
     )
 
     @jax.jit
-    def embed(variables, key):
+    def embed(variables, key, eps):
+        # eps: (1,) carried from the previous batch's features — a
+        # value-preserving structural dependency that chains iterations so
+        # the remote runtime cannot elide any (benchmarks/_timing.py)
         clips = jax.random.randint(key, (BATCH, T, SIZE, SIZE), 0, 255, jnp.int32
                                    ).astype(jnp.uint8)
-        x = V.eval_transform(clips, (88, 88))[..., None]
+        x = V.eval_transform(clips, (88, 88))[..., None] + eps[0] * 1e-38
         return model.apply(variables, x, method=model.frame_features)
 
+    sys.path.insert(0, "/root/repo")
+    from benchmarks._timing import force_fetch
+
     keys = jax.random.split(jax.random.PRNGKey(1), N_ITERS)
-    embed(variables, keys[0]).block_until_ready()
-    _ = np.asarray(embed(variables, keys[0])[:1, :1, :4])  # absorb D2H stall
+    out = embed(variables, keys[0], jnp.zeros((1,), jnp.float32))
+    _ = np.asarray(out[:1, :1, :4])  # compile + absorb D2H stall
 
     t0 = time.perf_counter()
-    outs = [embed(variables, k) for k in keys]
-    outs[-1].block_until_ready()
+    for k in keys:
+        out = embed(variables, k, out.ravel()[:1])
+    force_fetch(out)
     elapsed = time.perf_counter() - t0
 
     clips_per_sec = BATCH * N_ITERS / elapsed

@@ -12,7 +12,7 @@ import numpy as np
 
 T = 29
 SIZE = 96
-N_ITERS = 10
+N_ITERS = 30
 
 
 def main():
@@ -63,15 +63,19 @@ def main():
             )
             key = jax.random.PRNGKey(1)
 
+            from benchmarks._timing import force_fetch
+
             state, metrics = trainer._train_step(state, clips, lengths, labels, key)
             _ = float(metrics["loss"])
 
+            # chained steps timed to a forcing fetch (benchmarks/_timing.py)
+            force_fetch(state.params)
             t0 = time.perf_counter()
             for _ in range(N_ITERS):
                 state, metrics = trainer._train_step(
                     state, clips, lengths, labels, key
                 )
-            jax.block_until_ready(state.params)
+            force_fetch(state.params)
             elapsed = time.perf_counter() - t0
 
             flops = compiled_flops(
