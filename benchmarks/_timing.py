@@ -14,6 +14,12 @@ provably waits for the work it depends on. Honest recipe:
   - use enough iterations to amortize the per-loop fixed cost (~35-50 ms
     here) and per-dispatch overhead (~0.5 ms/execution).
 
+  - keep each iteration's LIVE (non-donated) outputs tiny: the relay ships
+    execution outputs device->host eagerly, so a loop that leaves a 50 MB
+    array live per iteration measures the ~40 MB/s relay, not the TPU
+    (reduce to a scalar inside the jit, or donate big buffers as the
+    training steps do).
+
 On a normal PCIe-attached device this harness is simply a correct
 synchronous measurement (the fetch is what `block_until_ready` would be).
 """

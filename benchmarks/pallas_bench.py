@@ -55,15 +55,20 @@ def main():
                     err = 0.0
                 else:
                     err = float(np.max(np.abs(np.asarray(out) - ref)))
-                # chained loop timed to a forcing fetch (benchmarks/_timing.py):
-                # the (subnormal-scaled) feedback term preserves values while
-                # making every iteration depend on the previous one
+                # chained loop timed to a forcing fetch, with the output
+                # reduced to ONE scalar inside the jit — large per-iteration
+                # outputs are shipped device->host eagerly by this rig's
+                # relay and poison the timing (benchmarks/_timing.py). The
+                # subnormal feedback preserves values while chaining.
+                fn_sum = jax.jit(lambda x: jnp.sum(fn(x)))
+                s = fn_sum(pcm)
+                force_fetch(s)
                 t0 = time.perf_counter()
                 x = pcm
                 for _ in range(N_ITERS):
-                    out = fn(x)
-                    x = pcm + out.ravel()[0] * 1e-38
-                force_fetch(out)
+                    s = fn_sum(x)
+                    x = pcm + s * 1e-38
+                force_fetch(s)
                 ms = (time.perf_counter() - t0) / N_ITERS * 1000
                 print(json.dumps({
                     "backend": name, "precision": precision, "batch": batch,

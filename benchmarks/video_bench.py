@@ -48,26 +48,28 @@ def main():
     )
 
     @jax.jit
-    def embed(variables, key, eps):
-        # eps: (1,) carried from the previous batch's features — a
-        # value-preserving structural dependency that chains iterations so
-        # the remote runtime cannot elide any (benchmarks/_timing.py)
+    def embed_sum(variables, key, eps):
+        # eps: a scalar carried from the previous batch — a value-preserving
+        # structural dependency that chains iterations; the output reduces
+        # to ONE scalar inside the jit (large per-iteration outputs are
+        # shipped device->host eagerly by this rig's relay and poison the
+        # timing — benchmarks/_timing.py)
         clips = jax.random.randint(key, (BATCH, T, SIZE, SIZE), 0, 255, jnp.int32
                                    ).astype(jnp.uint8)
-        x = V.eval_transform(clips, (88, 88))[..., None] + eps[0] * 1e-38
-        return model.apply(variables, x, method=model.frame_features)
+        x = V.eval_transform(clips, (88, 88))[..., None] + eps * 1e-38
+        return jnp.sum(model.apply(variables, x, method=model.frame_features))
 
     sys.path.insert(0, "/root/repo")
     from benchmarks._timing import force_fetch
 
     keys = jax.random.split(jax.random.PRNGKey(1), N_ITERS)
-    out = embed(variables, keys[0], jnp.zeros((1,), jnp.float32))
-    _ = np.asarray(out[:1, :1, :4])  # compile + absorb D2H stall
+    s = embed_sum(variables, keys[0], jnp.float32(0))
+    _ = np.asarray(s)  # compile + absorb D2H stall
 
     t0 = time.perf_counter()
     for k in keys:
-        out = embed(variables, k, out.ravel()[:1])
-    force_fetch(out)
+        s = embed_sum(variables, k, s)
+    force_fetch(s)
     elapsed = time.perf_counter() - t0
 
     clips_per_sec = BATCH * N_ITERS / elapsed

@@ -42,6 +42,11 @@ def main(argv=None) -> None:
     p.add_argument("--exp-root", default="exp")
     p.add_argument("--log-time", default=None)
     p.add_argument("--model-path", default=None, help="checkpoint to load")
+    p.add_argument("--compute-dtype", default="bf16", choices=["bf16", "float32"],
+                   help="training-step activation dtype (params stay f32)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="train steps fused into one device program "
+                        "(lax.scan over stacked same-shape batches)")
     p.add_argument("--extract-feats", action="store_true")
     p.add_argument("--mouth-embedding-out-path", default=None)
     args = p.parse_args(argv)
@@ -60,6 +65,8 @@ def main(argv=None) -> None:
         weight_decay=args.weight_decay,
         exp_root=args.exp_root,
         log_time=args.log_time,
+        compute_dtype=args.compute_dtype,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     if args.model_path:
         trainer.load(args.model_path)

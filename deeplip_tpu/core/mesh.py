@@ -107,6 +107,18 @@ def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedShar
     return NamedSharding(mesh, spec)
 
 
+def stacked_data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for ``(K, B, ...)`` stacks of K same-shape batches (grouped
+    train steps, ``lax.scan`` over dim 0): dim 1 is the batch dimension,
+    sharded like :func:`data_sharding`; the stack dim is replicated."""
+    if DCN_AXIS in mesh.axis_names:
+        batch_axes: tuple | str = (DCN_AXIS, DATA_AXIS)
+    else:
+        batch_axes = DATA_AXIS
+    spec = P(None, batch_axes, *([None] * (ndim - 2)))
+    return NamedSharding(mesh, spec)
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

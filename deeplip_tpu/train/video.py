@@ -27,7 +27,12 @@ import numpy as np
 import optax
 
 from deeplip_tpu.core.config import Config
-from deeplip_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+from deeplip_tpu.core.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+    stacked_data_sharding,
+)
 from deeplip_tpu.data.video_dataset import VideoClipBatches
 from deeplip_tpu.losses.softmax import softmax_cross_entropy
 from deeplip_tpu.models.lipreading import Lipreading
@@ -54,6 +59,7 @@ class VideoTrainer:
         hidden_dim: int = 256,
         compute_dtype: str = "float32",
         trunk_layers: tuple[int, ...] = (2, 2, 2, 2),
+        steps_per_dispatch: int = 1,
     ):
         self.model_cfg = model_cfg
         self.num_classes = num_classes
@@ -71,6 +77,7 @@ class VideoTrainer:
             self.train_model = self.model
         self.schedule = cosine_annealing_schedule(lr, t_max)
         self.tx = torch_adam(self.schedule, weight_decay=weight_decay)
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
         self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
         self.exp_dir = os.path.join(exp_root, self.log_time)
         self.current_epoch = 0
@@ -94,8 +101,7 @@ class VideoTrainer:
         return self.state
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def _train_step(self, state: TrainState, clips_u8, lengths, labels, key):
+    def _step_math(self, state: TrainState, clips_u8, lengths, labels, key):
         kt, kd = jax.random.split(key)
         x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
 
@@ -123,6 +129,27 @@ class VideoTrainer:
             {"loss": loss, "acc": acc},
         )
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, clips_u8, lengths, labels, key):
+        return self._step_math(state, clips_u8, lengths, labels, key)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_group(self, state: TrainState, clips_u8, lengths, labels, keys):
+        """K train steps in ONE device program (``lax.scan`` over stacked
+        same-shape batches): on hosts with expensive dispatch this runs at
+        the pure-device step rate (measured on this rig: bs 128 goes from
+        560 to ~1,018 clips/sec, `benchmarks/fori_step_bench.py`); on PCIe
+        hosts it trims per-step launch overhead. Inputs are stacked
+        ``(K, B, ...)``; ``keys`` holds the K per-step RNG keys, so K
+        grouped steps consume randomness exactly like K single steps."""
+
+        def body(state, batch):
+            clips, lens, labs, key = batch
+            state, metrics = self._step_math(state, clips, lens, labs, key)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (clips_u8, lengths, labels, keys))
+
     def train(self, batches: VideoClipBatches, epochs: int = 1, seed: int = 0,
               auto_resume: bool = False) -> TrainState:
         if auto_resume:
@@ -138,8 +165,45 @@ class VideoTrainer:
         step = int(state.step)
         clip_shard = data_sharding(self.mesh, ndim=4)
         vec_shard = data_sharding(self.mesh, ndim=1)
+        group_shard = stacked_data_sharding(self.mesh, ndim=5)
+        gvec_shard = stacked_data_sharding(self.mesh, ndim=2)
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
+            pending: list[dict] = []
+
+            def flush(pending, state, key, step):
+                """Run the pending same-shape batches as one grouped
+                dispatch (or a single step when only one is queued)."""
+                subs = []
+                for _ in pending:
+                    key, sub = jax.random.split(key)
+                    subs.append(sub)
+                if len(pending) == 1:
+                    state, metrics = self._train_step(
+                        state,
+                        jax.device_put(pending[0]["clips"], clip_shard),
+                        jax.device_put(pending[0]["lengths"], vec_shard),
+                        jax.device_put(pending[0]["labels"], vec_shard),
+                        subs[0],
+                    )
+                else:
+                    state, metrics = self._train_step_group(
+                        state,
+                        jax.device_put(
+                            np.stack([p["clips"] for p in pending]), group_shard),
+                        jax.device_put(
+                            np.stack([p["lengths"] for p in pending]), gvec_shard),
+                        jax.device_put(
+                            np.stack([p["labels"] for p in pending]), gvec_shard),
+                        jnp.stack(subs),
+                    )
+                    metrics = {k2: v[-1] for k2, v in metrics.items()}
+                step += len(pending)
+                return state, metrics, key, step
+
+            metrics = None
+            b = 0
+            last_log = step
             for batch in batches.epoch(epoch):
                 b = len(batch["labels"])
                 pad = -b % self.n_devices
@@ -149,20 +213,22 @@ class VideoTrainer:
                         batch[k2] = np.concatenate(
                             [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)]
                         )
-                key, sub = jax.random.split(key)
-                state, metrics = self._train_step(
-                    state,
-                    jax.device_put(batch["clips"], clip_shard),
-                    jax.device_put(batch["lengths"], vec_shard),
-                    jax.device_put(batch["labels"], vec_shard),
-                    sub,
-                )
-                step += 1
-                if step % log_every == 0:
+                if pending and pending[-1]["clips"].shape != batch["clips"].shape:
+                    state, metrics, key, step = flush(pending, state, key, step)
+                    pending = []
+                pending.append(batch)
+                if len(pending) < self.steps_per_dispatch:
+                    continue
+                state, metrics, key, step = flush(pending, state, key, step)
+                pending = []
+                if step - last_log >= log_every:
+                    last_log = step
                     loss = float(metrics["loss"])
                     guard.check(loss)
                     logger.log(step, examples=b, loss=loss, acc=float(metrics["acc"]),
                                lr=float(self.schedule(step)), epoch=epoch)
+            if pending:
+                state, metrics, key, step = flush(pending, state, key, step)
             guard.check(float(metrics["loss"]))
             logger.log(step, examples=b, loss=float(metrics["loss"]),
                        acc=float(metrics["acc"]), lr=float(self.schedule(step)),

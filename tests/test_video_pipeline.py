@@ -134,3 +134,70 @@ def test_video_trainer_e2e(video_corpus, tmp_path):
     # fusion-side consumption: squeeze(-3) then mean(0) must work
     consumed = saved.squeeze(-3) if saved.shape[0] == 1 else saved
     assert consumed.ndim == 2
+
+
+def test_grouped_stepping_matches_single(video_corpus, tmp_path):
+    """One _train_step_group dispatch == the same K individual _train_step
+    dispatches (same batches, same RNG keys), and the epoch loop's grouped
+    path trains end-to-end."""
+    clips = scan_clip_dir(video_corpus)
+
+    def make_trainer(tag, k=1):
+        return VideoTrainer(
+            TINY_VIDEO_CFG,
+            num_classes=3,
+            mesh=make_mesh(),
+            crop_size=(32, 32),
+            exp_root=str(tmp_path / f"exp{tag}"),
+            log_time=f"g{tag}",
+            hidden_dim=12,
+            trunk_layers=(1, 1, 1, 1),
+            steps_per_dispatch=k,
+        )
+
+    batches = list(VideoClipBatches(clips, batch_size=4, bucket_t=4,
+                                    num_workers=2, shuffle=False).epoch(0))[:2]
+    subs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    ta = make_trainer("a")
+    state_a = ta.ensure_state()
+    losses_a = []
+    for batch, sub in zip(batches, subs):
+        state_a, m = ta._train_step(
+            state_a, batch["clips"], batch["lengths"], batch["labels"], sub)
+        losses_a.append(float(m["loss"]))
+
+    tb = make_trainer("b")
+    state_b = tb.ensure_state()
+    state_b, m = tb._train_step_group(
+        state_b,
+        np.stack([b["clips"] for b in batches]),
+        np.stack([b["lengths"] for b in batches]),
+        np.stack([b["labels"] for b in batches]),
+        subs,
+    )
+    losses_b = [float(x) for x in np.asarray(m["loss"])]
+
+    # identical batches + keys -> identical per-step losses (loss[1] sees
+    # step 0's full param update, so any RNG/batch divergence would move it
+    # macroscopically) and identical BN running stats (pure activation
+    # reductions). Params themselves cannot be compared tightly under Adam:
+    # for near-zero-gradient coords, f32 reassociation noise flips the sign
+    # of g and with it the whole ~lr-scale update — so only a coarse bound.
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
+                    jax.tree_util.tree_leaves(state_b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-3)
+
+    # epoch-loop grouped path end-to-end (flush logic, leftover batch, logs)
+    tc = make_trainer("c", k=2)
+    state_c = tc.train(
+        VideoClipBatches(clips, batch_size=4, bucket_t=4, num_workers=2,
+                         shuffle=False), epochs=1)
+    assert np.isfinite(
+        float(np.sum(np.asarray(jax.tree_util.tree_leaves(state_c.params)[0]))))
