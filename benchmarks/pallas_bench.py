@@ -22,7 +22,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     sys.path.insert(0, "/root/repo")
-    from deeplip_tpu.ops.features import FeatureConfig, audio_features
+    from deeplip_tpu.ops.features import FeatureConfig, mfcc
     from deeplip_tpu.ops.pallas.fbank_kernel import (
         _pallas_features_v1,
         _pallas_features_v2,
@@ -34,12 +34,12 @@ def main():
     for precision in (sys.argv[1].split(",") if len(sys.argv) > 1 else
                       ["high", "highest", "default"]):
         cfg = FeatureConfig(feat_type="mfcc", num_cep=24, num_bin=26,
-                            precision=precision)
+                            normalize=False, delta=False, precision=precision)
         for batch, samples in ((128, 48000), (256, 48000)):
             pcm = jax.device_put(
                 rng.standard_normal((batch, samples)).astype(np.float32))
 
-            xla = jax.jit(lambda x: audio_features(x, cfg))
+            xla = jax.jit(lambda x: mfcc(x, cfg))
             v1 = lambda x: _pallas_features_v1(x, cfg)
             v2 = (lambda x: _pallas_features_v2(x, cfg)) if _v2_eligible(cfg) else None
 
@@ -60,14 +60,12 @@ def main():
                 # outputs are shipped device->host eagerly by this rig's
                 # relay and poison the timing (benchmarks/_timing.py). The
                 # subnormal feedback preserves values while chaining.
-                fn_sum = jax.jit(lambda x: jnp.sum(fn(x)))
-                s = fn_sum(pcm)
+                fn_sum = jax.jit(lambda x, eps: jnp.sum(fn(x + eps * 1e-38)))
+                s = fn_sum(pcm, jnp.float32(0))
                 force_fetch(s)
                 t0 = time.perf_counter()
-                x = pcm
                 for _ in range(N_ITERS):
-                    s = fn_sum(x)
-                    x = pcm + s * 1e-38
+                    s = fn_sum(pcm, s)
                 force_fetch(s)
                 ms = (time.perf_counter() - t0) / N_ITERS * 1000
                 print(json.dumps({

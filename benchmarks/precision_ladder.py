@@ -45,20 +45,30 @@ def main():
                 xv, _ = model.apply(variables, feats,
                                     method=model.extract_embedding)
                 return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
-        return embed
 
-    ref = np.asarray(make_embed("highest")(variables, pcm))
+        @jax.jit
+        def embed_sum(variables, pcm, eps):
+            # eps chains iterations (value-preserving subnormal add inside
+            # the jit); scalar output so nothing big stays live per
+            # iteration (benchmarks/_timing.py)
+            with jax.default_matmul_precision(precision):
+                feats = F.extract_features(pcm + eps * 1e-38, feat_cfg)
+                xv, _ = model.apply(variables, feats,
+                                    method=model.extract_embedding)
+                return jnp.sum(xv)
+
+        return embed, embed_sum
+
+    ref = np.asarray(make_embed("highest")[0](variables, pcm))
     for precision in ("default", "high", "highest"):
-        embed = make_embed(precision)
-        out = embed(variables, pcm)
-        err = float(np.max(np.abs(np.asarray(out) - ref)))
-        # chained loop: subnormal feedback preserves values, forces ordering
-        x = pcm
+        embed, embed_sum = make_embed(precision)
+        err = float(np.max(np.abs(np.asarray(embed(variables, pcm)) - ref)))
+        s = embed_sum(variables, pcm, jnp.float32(0))
+        force_fetch(s)
         t0 = time.perf_counter()
         for _ in range(N_ITERS):
-            out = embed(variables, x)
-            x = pcm + out.ravel()[0] * 1e-38
-        force_fetch(out)
+            s = embed_sum(variables, pcm, s)
+        force_fetch(s)
         ms = (time.perf_counter() - t0) / N_ITERS * 1000
         print(json.dumps({
             "precision": precision, "batch": BATCH,

@@ -46,6 +46,7 @@ class AudioTrainPipeline:
         seed: int = 0,
         num_workers: int = 8,
         reader: Callable = read_wav,
+        bucket_run: int = 1,
     ):
         self.manifest = manifest
         self.rate = rate
@@ -55,7 +56,7 @@ class AudioTrainPipeline:
         epoch_len = manifest.epoch_length(np.mean(frame_range), win_len, win_shift)
         self.sampler = SpeakerBatchSampler(
             manifest.n_spk, max(epoch_len, batch_size), batch_size,
-            frame_range, n_buckets, seed,
+            frame_range, n_buckets, seed, bucket_run=bucket_run,
         )
         self.num_workers = num_workers
 

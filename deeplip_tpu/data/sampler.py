@@ -39,6 +39,7 @@ class SpeakerBatchSampler:
         n_buckets: int = 11,
         seed: int = 0,
         drop_last: bool = True,
+        bucket_run: int = 1,
     ):
         self.n_spk = n_spk
         self.epoch_length = epoch_length
@@ -46,6 +47,11 @@ class SpeakerBatchSampler:
         self.buckets = frame_buckets(frame_range[0], frame_range[1], n_buckets)
         self.seed = seed
         self.drop_last = drop_last
+        # crop length redrawn every `bucket_run` batches (1 = reference
+        # behavior, per batch). Runs of a shared length let the trainer fuse
+        # K steps into one device program (`steps_per_dispatch`); lengths
+        # remain uniform over the bucket grid, just correlated within a run.
+        self.bucket_run = max(int(bucket_run), 1)
 
     def epoch(self, epoch_idx: int):
         rng = np.random.default_rng((self.seed, epoch_idx))
@@ -55,9 +61,11 @@ class SpeakerBatchSampler:
             if self.drop_last
             else -(-self.epoch_length // self.batch_size)
         )
+        n_frames = None
         for b in range(n_batches):
             ids = order[b * self.batch_size : (b + 1) * self.batch_size]
-            n_frames = int(rng.choice(self.buckets))
+            if b % self.bucket_run == 0:
+                n_frames = int(rng.choice(self.buckets))
             yield ids, n_frames
 
     def batches_per_epoch(self) -> int:

@@ -34,6 +34,7 @@ import optax
 
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import (data_sharding, make_mesh, param_sharding,
+                                   stacked_data_sharding,
                                    replicated_sharding)
 from deeplip_tpu.data.audio_pipeline import AudioTrainPipeline, EvalUtteranceSet
 from deeplip_tpu.data.prefetch import device_prefetch
@@ -56,6 +57,40 @@ def masked_cmvn(feat: jnp.ndarray, lengths: jnp.ndarray, eps: float = 2e-12) -> 
     mean = jnp.sum(feat * mask, axis=1, keepdims=True) / count
     var = jnp.sum(((feat - mean) ** 2) * mask, axis=1, keepdims=True) / count
     return (feat - mean) / (jnp.sqrt(var) + eps)
+
+
+def _group_batches(source, k):
+    """Stack runs of consecutive same-shape PCM batches into ``(K, B, ...)``
+    group batches for :meth:`AudioTrainer._train_step_group`. Kaldi-feature
+    batches and shape changes flush the pending run."""
+    pending = []
+
+    def flush():
+        if len(pending) == 1:
+            return pending[0]
+        return {
+            "pcm": np.stack([b["pcm"] for b in pending]),
+            "labels": np.stack([b["labels"] for b in pending]),
+            "n_frames": pending[-1]["n_frames"],
+            "group": len(pending),
+        }
+
+    for batch in source:
+        if "feats" in batch:
+            if pending:
+                yield flush()
+                pending = []
+            yield batch
+            continue
+        if pending and pending[-1]["pcm"].shape != batch["pcm"].shape:
+            yield flush()
+            pending = []
+        pending.append(batch)
+        if len(pending) == k:
+            yield flush()
+            pending = []
+    if pending:
+        yield flush()
 
 
 class AudioTrainer:
@@ -158,6 +193,11 @@ class AudioTrainer:
 
         self.batch_size = int(self.train_opts.get("bs", 256))
         self.epochs = int(self.train_opts.get("epoch", 30))
+        # K train steps fused into one device program (lax.scan); the
+        # sampler draws crop lengths in runs of K so consecutive batches
+        # share a shape (train.steps_per_dispatch: 1 = reference behavior)
+        self.steps_per_dispatch = max(
+            int(self.train_opts.get("steps_per_dispatch", 1)), 1)
         self.pipeline = self._kaldi_pipeline
         if self.manifest is not None:
             # native (C++, GIL-free) wav decode when built; 'loader: python'
@@ -180,6 +220,7 @@ class AudioTrainer:
                 n_buckets=int(self.train_opts.get("frame_buckets", 11)),
                 num_workers=int(self.train_opts.get("loader_workers", 8)),
                 reader=reader or _py_read_wav,
+                bucket_run=self.steps_per_dispatch,
             )
 
         steps_per_epoch = self.pipeline.batches_per_epoch() if self.pipeline else 1
@@ -259,6 +300,23 @@ class AudioTrainer:
         return self._step_on_features(state, feats, labels, margin)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_group(self, state: TrainState, pcm, labels, margin):
+        """K train steps in ONE device program: ``lax.scan`` over stacked
+        ``(K, B, ...)`` batches. Removes per-step dispatch overhead (on this
+        rig's relay that is material; on PCIe hosts it trims launch cost).
+        The audio step consumes no RNG, so K grouped steps are semantically
+        identical to K single dispatches."""
+
+        def body(state, batch):
+            p, l = batch
+            feats = F.extract_features(
+                p, self.train_feat_cfg, backend=self.feature_backend)
+            state, metrics = self._step_on_features(state, feats, l, margin)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (pcm, labels))
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step_feats(self, state: TrainState, feats, labels, margin):
         """Train step for precomputed (Kaldi-format) features."""
         return self._step_on_features(state, feats, labels, margin)
@@ -313,8 +371,14 @@ class AudioTrainer:
         lab_shard = data_sharding(self.mesh, ndim=1)
         step = int(state.step)
         feats_shard = data_sharding(self.mesh, ndim=3)
+        group_in_shard = stacked_data_sharding(self.mesh, ndim=3)
+        group_lab_shard = stacked_data_sharding(self.mesh, ndim=2)
         def put(batch):
             out = dict(batch)
+            if "group" in batch:
+                out["labels"] = jax.device_put(batch["labels"], group_lab_shard)
+                out["pcm"] = jax.device_put(batch["pcm"], group_in_shard)
+                return out
             out["labels"] = jax.device_put(batch["labels"], lab_shard)
             if "feats" in batch:
                 out["feats"] = jax.device_put(batch["feats"], feats_shard)
@@ -325,26 +389,41 @@ class AudioTrainer:
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
             margin = jnp.float32(self._margin_for_epoch(epoch))
+            source = self.pipeline.epoch(epoch)
+            if self.steps_per_dispatch > 1:
+                source = _group_batches(source, self.steps_per_dispatch)
+            last_log = step
             # double-buffered H2D: batch N+1 transfers while step N runs
-            for batch in device_prefetch(self.pipeline.epoch(epoch), put):
-                if "feats" in batch:  # kaldi-format precomputed features
+            for batch in device_prefetch(source, put):
+                if "group" in batch:  # K stacked batches, one device program
+                    state, metrics = self._train_step_group(
+                        state, batch["pcm"], batch["labels"], margin
+                    )
+                    step += batch["group"]
+                    metrics = {k: v[-1] for k, v in metrics.items()}
+                    n_examples = batch["labels"].shape[1]
+                elif "feats" in batch:  # kaldi-format precomputed features
                     state, metrics = self._train_step_feats(
                         state, batch["feats"], batch["labels"], margin
                     )
+                    step += 1
+                    n_examples = len(batch["labels"])
                 else:
                     state, metrics = self._train_step(
                         state, batch["pcm"], batch["labels"], margin
                     )
-                step += 1
+                    step += 1
+                    n_examples = len(batch["labels"])
                 # metric fetches cost a device round-trip (~15 ms over this
                 # rig's tunnel): fetch only on logging steps; the NaN guard
                 # runs at the same cadence (plus the final step of the epoch)
-                if (log_every and step % log_every == 0):
+                if log_every and step - last_log >= log_every:
+                    last_log = step
                     loss = float(metrics["loss"])
                     guard.check(loss)
                     logger.log(
                         step,
-                        examples=len(batch["labels"]),
+                        examples=n_examples,
                         loss=loss,
                         acc=float(metrics["acc"]),
                         lr=float(self.schedule(step)),

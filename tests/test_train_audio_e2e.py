@@ -213,3 +213,55 @@ def test_eval_set_resampled_length_exact(tmp_path):
     for batch in es.batches():
         for name, t in zip(batch["names"], batch["feat_lengths"]):
             assert int(t) == true_frames[name], (name, int(t), true_frames[name])
+
+
+def test_audio_grouped_stepping_matches_single(corpus, tmp_path):
+    """_train_step_group (lax.scan over K stacked batches) == K single
+    _train_step dispatches: the audio step consumes no RNG, so losses and
+    SGD params must agree to float-fusion noise. Also trains one epoch
+    through the grouped loop (bucket_run sampler + flush logic)."""
+    import jax
+    import jax.numpy as jnp
+
+    corpus_root, _manifest, _trials = corpus
+    cfg = _config(tmp_path, corpus_root)
+
+    ta = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "expA"))
+    batches = [b for _, b in zip(range(2), ta.pipeline.epoch(0))]
+    # force a shared shape so the pair is groupable
+    if batches[0]["pcm"].shape != batches[1]["pcm"].shape:
+        batches[1] = dict(batches[1], pcm=batches[0]["pcm"].copy(),
+                          labels=batches[1]["labels"],
+                          n_frames=batches[0]["n_frames"])
+    margin = jnp.float32(0.1)
+
+    state_a = ta.ensure_state()
+    losses_a = []
+    for b in batches:
+        state_a, m = ta._train_step(state_a, b["pcm"], b["labels"], margin)
+        losses_a.append(float(m["loss"]))
+
+    tb = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "expB"))
+    state_b = tb.ensure_state()
+    state_b, m = tb._train_step_group(
+        state_b,
+        np.stack([b["pcm"] for b in batches]),
+        np.stack([b["labels"] for b in batches]),
+        margin,
+    )
+    losses_b = [float(x) for x in np.asarray(m["loss"])]
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+    # SGD+momentum has no adaptive normalization, so params stay tight
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+    # grouped epoch loop end-to-end (sampler bucket_run, flush, logging)
+    cfg2 = _config(tmp_path, corpus_root)
+    cfg2.train["steps_per_dispatch"] = 2
+    tc = AudioTrainer(cfg2, mesh=make_mesh(), exp_root=str(tmp_path / "expC"))
+    assert tc.pipeline.sampler.bucket_run == 2
+    state_c = tc.train(epochs=1)
+    assert np.isfinite(
+        float(np.sum(np.asarray(jax.tree_util.tree_leaves(state_c.params)[0]))))
