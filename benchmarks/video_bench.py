@@ -6,25 +6,33 @@ frames (GRID utterances are ~1 s @ 29 fps) through the full pipeline —
 on-device transform + Conv3D frontend + ResNet-18 per-frame trunk — i.e.
 the hot path of both video training and fusion extraction.
 
+Measurement: the iteration loop runs INSIDE one jit (lax.fori_loop, scalar
+output, value-preserving eps chain) — the only fully trustworthy shape on
+this rig's relay (benchmarks/_timing.py); per-loop fixed cost removed with
+a two-length fit.
+
 Prints one JSON line with clips/sec and frames/sec.
 """
 
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 BATCH = 32
 T = 29
 SIZE = 96
-N_ITERS = 20
+N_SHORT = 8
+N_LONG = 40
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     sys.path.insert(0, "/root/repo")
     from deeplip_tpu.models.lipreading import Lipreading
     from deeplip_tpu.ops import video as V
@@ -47,32 +55,32 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 88, 88, 1), jnp.float32)
     )
 
-    @jax.jit
-    def embed_sum(variables, key, eps):
-        # eps: a scalar carried from the previous batch — a value-preserving
-        # structural dependency that chains iterations; the output reduces
-        # to ONE scalar inside the jit (large per-iteration outputs are
-        # shipped device->host eagerly by this rig's relay and poison the
-        # timing — benchmarks/_timing.py)
-        clips = jax.random.randint(key, (BATCH, T, SIZE, SIZE), 0, 255, jnp.int32
-                                   ).astype(jnp.uint8)
-        x = V.eval_transform(clips, (88, 88))[..., None] + eps * 1e-38
-        return jnp.sum(model.apply(variables, x, method=model.frame_features))
+    @partial(jax.jit, static_argnames="iters")
+    def loop(variables, iters):
+        def body(_, carry):
+            key, acc = carry
+            key, k2 = jax.random.split(key)
+            clips = jax.random.randint(
+                k2, (BATCH, T, SIZE, SIZE), 0, 255, jnp.int32
+            ).astype(jnp.uint8)
+            x = V.eval_transform(clips, (88, 88))[..., None] + acc * 1e-38
+            feats = model.apply(variables, x, method=model.frame_features)
+            return (key, acc + jnp.sum(feats))
 
-    sys.path.insert(0, "/root/repo")
-    from benchmarks._timing import force_fetch
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (jax.random.PRNGKey(1), jnp.float32(0)))
+        return acc
 
-    keys = jax.random.split(jax.random.PRNGKey(1), N_ITERS)
-    s = embed_sum(variables, keys[0], jnp.float32(0))
-    _ = np.asarray(s)  # compile + absorb D2H stall
+    def run(iters):
+        np.asarray(jax.device_get(loop(variables, iters)))
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(loop(variables, iters)))
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for k in keys:
-        s = embed_sum(variables, k, s)
-    force_fetch(s)
-    elapsed = time.perf_counter() - t0
+    t_short, t_long = run(N_SHORT), run(N_LONG)
+    ms = (t_long - t_short) / (N_LONG - N_SHORT) * 1000
 
-    clips_per_sec = BATCH * N_ITERS / elapsed
+    clips_per_sec = BATCH / ms * 1000
     print(
         json.dumps(
             {
@@ -80,6 +88,7 @@ def main():
                 "value": round(clips_per_sec, 1),
                 "unit": "clips/sec",
                 "frames_per_sec": round(clips_per_sec * T, 1),
+                "ms_per_batch": round(ms, 2),
             }
         )
     )

@@ -55,8 +55,17 @@ exact ``(U, 128) @ (128, 512)`` with **no padded lanes**:
 
 Per-frame DFT FLOPs: ``nblk·128·512·2`` = 524k vs the v1 kernel's 790k and
 XLA's (T,400)@(400,514) 411k — within 1.27× of unpadded while eliminating
-the ~270 MB/batch HBM round trip of materialized frames + power spectrum
-that makes the XLA path bandwidth-bound.
+the ~270 MB/batch HBM round trip of materialized frames + power spectrum.
+
+**Measured verdict (r2, final — see BENCH.md "Pallas fused MFCC kernel"):
+v2 delivers its designed ~1.9× over v1, but XLA stays faster at bench
+shapes (e.g. 1.54 ms vs 2.43 ms, 256×3 s, 'high') and remains the
+default.** The workload is compute-bound at ~25-30% small-matmul
+efficiency for both paths; the HBM traffic the kernel fuses away costs
+only ~0.33 ms and XLA overlaps it, so there is no bandwidth win to
+collect, and Mosaic's grid-sequential matmuls cannot beat XLA's pipelined
+ones on equal FLOPs. Kept as a selectable backend (config
+``python_data_config.backend: pallas``) with exactness tests.
 """
 
 from __future__ import annotations
