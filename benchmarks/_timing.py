@@ -26,8 +26,7 @@ synchronous measurement (the fetch is what `block_until_ready` would be).
 
 from __future__ import annotations
 
-import time
-from typing import Any, Callable
+from typing import Any
 
 
 def force_fetch(tree: Any) -> None:
@@ -41,43 +40,3 @@ def force_fetch(tree: Any) -> None:
     leaf = leaves[0]
     flat = leaf.reshape(-1) if hasattr(leaf, "reshape") else leaf
     np.asarray(jax.device_get(flat[:1]))
-
-
-def chained_ms(
-    step: Callable[[Any], Any],
-    state0: Any,
-    iters: int = 30,
-    warmup: int = 1,
-) -> float:
-    """Per-iteration wall time (ms) of ``state = step(state)`` chained
-    ``iters`` times, fetch-forced. ``step`` must return a value that depends
-    on every piece of work to be timed."""
-    state = state0
-    for _ in range(max(warmup, 1)):
-        state = step(state)
-    force_fetch(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step(state)
-    force_fetch(state)
-    return (time.perf_counter() - t0) / iters * 1000
-
-
-def loop_overhead_split(
-    step: Callable[[Any], Any],
-    state0: Any,
-    short: int = 8,
-    long: int = 40,
-) -> dict:
-    """Separate the fixed per-loop cost from the true per-iteration cost by
-    running two chain lengths: total(n) = fixed + n*t."""
-    ms_short = chained_ms(step, state0, iters=short)
-    ms_long = chained_ms(step, state0, iters=long)
-    t = (long * ms_long - short * ms_short) / (long - short)
-    fixed = short * (ms_short - t)
-    return {
-        "ms_per_iter": round(t, 3),
-        "fixed_ms": round(fixed, 1),
-        "ms_short": round(ms_short, 3),
-        "ms_long": round(ms_long, 3),
-    }

@@ -120,6 +120,58 @@ def main():
         rec.update(mfu_fields(step_flops, 1000.0 / ms))
         print(json.dumps(rec), flush=True)
 
+    elif kind == "fusion":
+        from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
+        from deeplip_tpu.ops.framing import samples_for_frames
+        from deeplip_tpu.train.flops import compiled_flops
+        from deeplip_tpu.train.fusion import FusionTrainer
+
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 60  # reference bs
+        groups = 2
+        vcfg = Config(
+            {"backbone_type": "resnet", "relu_type": "prelu",
+             "tcn_kernel_size": [3, 5, 7], "tcn_num_layers": 4,
+             "tcn_dropout": 0.2, "tcn_dwpw": False, "tcn_width_mult": 1,
+             "width_mult": 1.0})
+        trainer = FusionTrainer(
+            Config(ETDNN_MODEL_OPTS), vcfg, n_spk=57,
+            audio_data_opts=Config(AUDIO_DATA_OPTS), mesh=mesh,
+            compute_dtype="bf16")
+        state = trainer.ensure_state()
+        samples = samples_for_frames(300, 0.025, 0.01, 16000)
+        pcm = jax.device_put(
+            rng.standard_normal((batch, samples)).astype(np.float32),
+            data_sharding(mesh, 2))
+        clips = jax.device_put(
+            rng.integers(0, 255, (batch, groups, T, SIZE, SIZE)).astype(np.uint8),
+            data_sharding(mesh, 5))
+        clip_lengths = jax.device_put(
+            np.full((batch, groups), T, np.int32), data_sharding(mesh, 2))
+        group_sizes = jax.device_put(
+            np.full((batch,), groups, np.int32), data_sharding(mesh, 1))
+        labels = jax.device_put(rng.integers(0, 57, batch).astype(np.int64),
+                                data_sharding(mesh, 1))
+
+        @partial(jax.jit, static_argnames="iters")
+        def loop(state, iters):
+            def body(_, state):
+                state, _metrics = trainer._train_step(
+                    state, pcm, clips, clip_lengths, group_sizes, labels)
+                return state
+            state = jax.lax.fori_loop(0, iters, body, state)
+            leaves = jax.tree_util.tree_leaves(state.params)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        step_flops = compiled_flops(
+            type(trainer)._train_step, trainer, state, pcm, clips,
+            clip_lengths, group_sizes, labels)
+        ms = measure(loop, state)
+        rec = {"kind": "fusion", "batch": batch, "clip_groups": groups,
+               "ms_per_step_device": round(ms, 2),
+               "pairs_per_sec_device": round(batch / ms * 1000, 1)}
+        rec.update(mfu_fields(step_flops, 1000.0 / ms))
+        print(json.dumps(rec), flush=True)
+
     else:
         from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
         from deeplip_tpu.ops.framing import samples_for_frames

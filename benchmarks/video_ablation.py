@@ -98,6 +98,8 @@ def run_one(ablation: str, batch: int):
 
     if ablation == "eval_transform":
         V.train_transform = orig_tt
+    if ablation == "rbg_rng":
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
     if orig_nn is not None:
         import deeplip_tpu.models.lipreading as L
 

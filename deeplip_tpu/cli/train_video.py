@@ -42,8 +42,10 @@ def main(argv=None) -> None:
     p.add_argument("--exp-root", default="exp")
     p.add_argument("--log-time", default=None)
     p.add_argument("--model-path", default=None, help="checkpoint to load")
-    p.add_argument("--compute-dtype", default="bf16", choices=["bf16", "float32"],
-                   help="training-step activation dtype (params stay f32)")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["bf16", "float32"],
+                   help="training-step activation dtype (params stay f32; "
+                        "bf16 recommended for throughput)")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="train steps fused into one device program "
                         "(lax.scan over stacked same-shape batches)")

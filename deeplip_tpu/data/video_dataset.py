@@ -69,7 +69,8 @@ def load_clip(path: str) -> np.ndarray:
 
 def load_clips(paths: Sequence[str], num_threads: int = 4) -> list[np.ndarray]:
     """Batch clip load; uses the native threaded npz reader when built
-    (zip walk + inflate + npy parse run GIL-free in C++), else np.load."""
+    (zip walk + inflate + npy parse run GIL-free in C++), else threaded
+    np.load."""
     from deeplip_tpu import native
 
     if native.npy_available():
@@ -78,9 +79,19 @@ def load_clips(paths: Sequence[str], num_threads: int = 4) -> list[np.ndarray]:
                 _squeeze_channel(a)
                 for a in native.read_npy_batch(list(paths), n_threads=num_threads)
             ]
-        except (IOError, ValueError):
-            pass  # unusual container (zip64, fortran order): fall back
-    return [load_clip(p) for p in paths]
+        except (IOError, ValueError) as exc:
+            # unusual container (zip64, fortran order): keep the fallback
+            # parallel — a serial np.load loop would silently slow epochs
+            import warnings
+
+            warnings.warn(f"native npz reader fell back to np.load: {exc}")
+    ordered = list(paths)
+    out = dict(
+        ThreadedPrefetcher(
+            ordered, lambda p: (p, load_clip(p)), num_workers=num_threads
+        )
+    )
+    return [out[p] for p in ordered]
 
 
 class VideoClipBatches:

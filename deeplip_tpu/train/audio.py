@@ -60,37 +60,40 @@ def masked_cmvn(feat: jnp.ndarray, lengths: jnp.ndarray, eps: float = 2e-12) -> 
 
 
 def _group_batches(source, k):
-    """Stack runs of consecutive same-shape PCM batches into ``(K, B, ...)``
+    """Stack runs of K consecutive same-shape PCM batches into ``(K, B, ...)``
     group batches for :meth:`AudioTrainer._train_step_group`. Kaldi-feature
-    batches and shape changes flush the pending run."""
+    batches and shape changes flush the pending run; partial runs (epoch or
+    bucket tails) are yielded as INDIVIDUAL batches — a (K', shape) scan
+    program per tail size would be a recompilation storm on hosts with slow
+    compiles, while the single-step program is already compiled."""
     pending = []
 
     def flush():
-        if len(pending) == 1:
-            return pending[0]
-        return {
-            "pcm": np.stack([b["pcm"] for b in pending]),
-            "labels": np.stack([b["labels"] for b in pending]),
-            "n_frames": pending[-1]["n_frames"],
-            "group": len(pending),
-        }
+        if len(pending) == k and k > 1:
+            return [{
+                "pcm": np.stack([b["pcm"] for b in pending]),
+                "labels": np.stack([b["labels"] for b in pending]),
+                "n_frames": pending[-1]["n_frames"],
+                "group": len(pending),
+            }]
+        return list(pending)
 
     for batch in source:
         if "feats" in batch:
             if pending:
-                yield flush()
+                yield from flush()
                 pending = []
             yield batch
             continue
         if pending and pending[-1]["pcm"].shape != batch["pcm"].shape:
-            yield flush()
+            yield from flush()
             pending = []
         pending.append(batch)
         if len(pending) == k:
-            yield flush()
+            yield from flush()
             pending = []
     if pending:
-        yield flush()
+        yield from flush()
 
 
 class AudioTrainer:
@@ -393,6 +396,7 @@ class AudioTrainer:
             if self.steps_per_dispatch > 1:
                 source = _group_batches(source, self.steps_per_dispatch)
             last_log = step
+            metrics = None
             # double-buffered H2D: batch N+1 transfers while step N runs
             for batch in device_prefetch(source, put):
                 if "group" in batch:  # K stacked batches, one device program
@@ -430,6 +434,11 @@ class AudioTrainer:
                         epoch=epoch,
                         n_frames=batch["n_frames"],
                     )
+            if metrics is None:
+                raise RuntimeError(
+                    f"epoch {epoch}: no batches produced — empty manifest "
+                    "or misconfigured pipeline?"
+                )
             guard.check(float(metrics["loss"]))  # end-of-epoch health check
             self.state = state
             # async: the ~seconds-long write overlaps the next epoch

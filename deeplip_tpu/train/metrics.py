@@ -34,6 +34,7 @@ class StepLogger:
         self._t0 = time.perf_counter()
         self._last_time = self._t0
         self._last_step = 0
+        self._last_printed: int | None = None
 
     def log(self, step: int, examples: int | None = None, **scalars) -> None:
         now = time.perf_counter()
@@ -55,7 +56,15 @@ class StepLogger:
                 {f"{self.prefix}/{k}": v for k, v in record.items()
                  if k not in ("step", "time") and isinstance(v, float)},
             )
-        if self.print_every and step % self.print_every == 0:
+        # delta gate, not `step % print_every`: trainers that pre-gate their
+        # log calls (or advance `step` by K under grouped stepping) would
+        # otherwise skip the modulo forever and print nothing
+        should_print = self.print_every and (
+            self._last_printed is None
+            or step - self._last_printed >= self.print_every
+        )
+        if should_print:
+            self._last_printed = step
             parts = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in record.items()

@@ -172,21 +172,16 @@ class VideoTrainer:
             pending: list[dict] = []
 
             def flush(pending, state, key, step):
-                """Run the pending same-shape batches as one grouped
-                dispatch (or a single step when only one is queued)."""
+                """Run the pending same-shape batches: one grouped dispatch
+                for a full run of K, individual steps otherwise (epoch/bucket
+                tails) — partial groups would each compile a fresh scan
+                program per (K', shape), a recompilation storm on hosts with
+                slow compiles."""
                 subs = []
                 for _ in pending:
                     key, sub = jax.random.split(key)
                     subs.append(sub)
-                if len(pending) == 1:
-                    state, metrics = self._train_step(
-                        state,
-                        jax.device_put(pending[0]["clips"], clip_shard),
-                        jax.device_put(pending[0]["lengths"], vec_shard),
-                        jax.device_put(pending[0]["labels"], vec_shard),
-                        subs[0],
-                    )
-                else:
+                if len(pending) == self.steps_per_dispatch and len(pending) > 1:
                     state, metrics = self._train_step_group(
                         state,
                         jax.device_put(
@@ -198,6 +193,15 @@ class VideoTrainer:
                         jnp.stack(subs),
                     )
                     metrics = {k2: v[-1] for k2, v in metrics.items()}
+                else:
+                    for p, sub in zip(pending, subs):
+                        state, metrics = self._train_step(
+                            state,
+                            jax.device_put(p["clips"], clip_shard),
+                            jax.device_put(p["lengths"], vec_shard),
+                            jax.device_put(p["labels"], vec_shard),
+                            sub,
+                        )
                 step += len(pending)
                 return state, metrics, key, step
 
@@ -229,6 +233,11 @@ class VideoTrainer:
                                lr=float(self.schedule(step)), epoch=epoch)
             if pending:
                 state, metrics, key, step = flush(pending, state, key, step)
+            if metrics is None:
+                raise RuntimeError(
+                    f"epoch {epoch}: no batches produced — is the clip "
+                    "directory empty or fully filtered out?"
+                )
             guard.check(float(metrics["loss"]))
             logger.log(step, examples=b, loss=float(metrics["loss"]),
                        acc=float(metrics["acc"]), lr=float(self.schedule(step)),
