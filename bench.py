@@ -56,7 +56,7 @@ N_UNIQUE_UTTS = 25834 if _PROFILE == "grid" else 3541
 N_TRIALS = 20000
 UTT_SECONDS = 3.0
 RATE = 16000
-BATCH = 256
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
 if os.environ.get("BENCH_SMOKE"):  # tiny CI smoke of the driver contract
     N_UNIQUE_UTTS, N_TRIALS, UTT_SECONDS, BATCH = 48, 96, 0.5, 16
 

@@ -8,7 +8,7 @@ from deeplip_tpu.eval.scoring import (
     feature_fusion_eer,
     feature_normalize,
 )
-from deeplip_tpu.eval.plda import PLDA
+from deeplip_tpu.eval.plda import PLDA, plda_eer
 
 __all__ = [
     "eer_from_scores",
@@ -21,4 +21,5 @@ __all__ = [
     "feature_fusion_eer",
     "feature_normalize",
     "PLDA",
+    "plda_eer",
 ]

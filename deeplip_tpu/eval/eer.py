@@ -48,6 +48,12 @@ def eer_sweep(y_true, y_score) -> tuple[float, float]:
     fp = np.cumsum(~labels)
     far = fp / max(n, 1)  # accepting top-k
     frr = 1.0 - tp / max(p, 1)
-    idx = int(np.argmin(np.abs(far - frr)))
+    # only the LAST index of a tied-score run is a realizable operating
+    # point (a threshold accepts all of a tie group or none of it);
+    # cutting inside a run would understate the EER on quantized scores
+    realizable = np.ones(len(scores), bool)
+    realizable[:-1] = np.diff(scores) != 0
+    cand = np.nonzero(realizable)[0]
+    idx = int(cand[np.argmin(np.abs(far[cand] - frr[cand]))])
     eer = float(0.5 * (far[idx] + frr[idx]))
     return eer, float(scores[idx])

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 
@@ -106,8 +108,6 @@ class PLDA:
 
     # ---- persistence --------------------------------------------------
     def save(self, path: str) -> None:
-        import os
-
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez(
             path,
@@ -119,6 +119,9 @@ class PLDA:
 
     @classmethod
     def load(cls, path: str) -> "PLDA":
+        # np.savez silently appends '.npz' to suffix-less paths: accept both
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         pca = z["pca"]
         return cls(
@@ -133,10 +136,9 @@ def plda_eer(trials, store, model: PLDA):
     """PLDA back-end EER over a trial list (≙ ``eer_plda_*``)."""
     from deeplip_tpu.eval.eer import eer_from_scores
 
-    utts = trials.unique_utts
-    index = {u: i for i, u in enumerate(utts)}
-    emb = store.matrix(utts)
+    from deeplip_tpu.eval.scoring import trial_matrix_pairs
+
+    emb, pairs = trial_matrix_pairs(trials, store)
     latent = model.transform(emb)
-    pairs = trials.index_pairs(index)
     scores = model.llr(latent[pairs[:, 0]], latent[pairs[:, 1]])
     return eer_from_scores(trials.labels, scores)

@@ -99,9 +99,11 @@ class EmbeddingStore:
 
     # ---- reference on-disk layout ------------------------------------
     def save_npy_tree(self, root: str) -> None:
-        """One ``<root>/<utt-with-.wav-stripped>.npy`` per utterance."""
+        """One ``<root>/<utt-with-.wav-suffix-stripped>.npy`` per utterance
+        (suffix only: a mid-name '.wav' must survive, matching the
+        reference's ``f.replace('.wav', '.npy')`` tree for normal names)."""
         for utt, emb in self.table.items():
-            path = os.path.join(root, utt.replace(".wav", "") + ".npy")
+            path = os.path.join(root, utt.removesuffix(".wav") + ".npy")
             os.makedirs(os.path.dirname(path) or root, exist_ok=True)
             np.save(path, emb)
 
@@ -109,7 +111,7 @@ class EmbeddingStore:
     def load_npy_tree(cls, root: str, utts: Iterable[str]) -> "EmbeddingStore":
         store = cls()
         for utt in utts:
-            store[utt] = np.load(os.path.join(root, utt.replace(".wav", "") + ".npy"))
+            store[utt] = np.load(os.path.join(root, utt.removesuffix(".wav") + ".npy"))
         return store
 
     # ---- Kaldi x-vector interop (≙ transform_{to,from}_kaldi_xv,
@@ -142,12 +144,18 @@ def cosine_scores(
     return jnp.sum(a * b, axis=-1)
 
 
-def _trial_scores(trials: TrialList, store: EmbeddingStore) -> np.ndarray:
+def trial_matrix_pairs(trials: TrialList, store: EmbeddingStore):
+    """Shared gather for every back-end: the unique-utterance embedding
+    matrix and the (M, 2) index pairs of the trial list."""
     utts = trials.unique_utts
     index = {u: i for i, u in enumerate(utts)}
-    emb = jnp.asarray(store.matrix(utts), jnp.float32)
-    pairs = jnp.asarray(trials.index_pairs(index))
-    return np.asarray(cosine_scores(emb, pairs))
+    return store.matrix(utts), trials.index_pairs(index)
+
+
+def _trial_scores(trials: TrialList, store: EmbeddingStore) -> np.ndarray:
+    emb, pairs = trial_matrix_pairs(trials, store)
+    return np.asarray(cosine_scores(jnp.asarray(emb, jnp.float32),
+                                    jnp.asarray(pairs)))
 
 
 def cosine_eer(trials: TrialList, store: EmbeddingStore) -> tuple[float, float]:

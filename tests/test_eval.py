@@ -156,3 +156,48 @@ def test_plda_eer_on_synthetic_trials(tmp_path):
     model2 = PLDA.load(path)
     eer2, _ = plda_eer(trials, store, model2)
     assert abs(eer - eer2) < 1e-12
+
+
+def test_eer_sweep_handles_tied_scores():
+    """A threshold accepts all of a tied-score group or none of it; the
+    sweep must not cut inside a tie run (review r2 finding: quantized
+    scores made eer_sweep understate EER vs the reference formula)."""
+    rng = np.random.default_rng(5)
+    labels = rng.integers(0, 2, 4000)
+    scores = np.round(rng.standard_normal(4000) + 0.8 * labels, 1)  # heavy ties
+    ref, _ = eer_from_scores(labels, scores)
+    swept, _ = eer_sweep(labels, scores)
+    assert abs(swept - ref) < 0.01, (swept, ref)
+
+
+def test_plda_save_load_suffixless(tmp_path):
+    """np.savez appends '.npz' to suffix-less paths; load must accept the
+    path as given (e.g. mirroring the reference's 'plda.pkl'-style name)."""
+    from deeplip_tpu.eval.plda import PLDA
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((60, 8)).astype(np.float64)
+    y = np.repeat(np.arange(6), 10)
+    m = PLDA().fit(x, y, n_principal_components=4)
+    m.save(str(tmp_path / "plda_model"))
+    m2 = PLDA.load(str(tmp_path / "plda_model"))
+    np.testing.assert_allclose(m2.mean, m.mean)
+
+
+def test_npy_tree_strips_suffix_only(tmp_path):
+    """'.wav' is stripped as a suffix, not everywhere in the name (a
+    mid-name '.wav' must survive, matching the reference's replace-based
+    '<utt>.npy' tree for normal names)."""
+    store = EmbeddingStore()
+    store["a.wav_aug.wav"] = np.arange(4, dtype=np.float32)
+    store["s1/normal.wav"] = np.ones(4, np.float32)
+    store.save_npy_tree(str(tmp_path))
+    assert (tmp_path / "a.wav_aug.npy").exists()
+    assert (tmp_path / "s1" / "normal.npy").exists()
+    back = EmbeddingStore.load_npy_tree(
+        str(tmp_path), ["a.wav_aug.wav", "s1/normal.wav"])
+    np.testing.assert_array_equal(back["a.wav_aug.wav"], store["a.wav_aug.wav"])
+
+
+def test_plda_eer_exported():
+    from deeplip_tpu.eval import plda_eer  # noqa: F401

@@ -265,3 +265,32 @@ def test_audio_grouped_stepping_matches_single(corpus, tmp_path):
     state_c = tc.train(epochs=1)
     assert np.isfinite(
         float(np.sum(np.asarray(jax.tree_util.tree_leaves(state_c.params)[0]))))
+
+
+def test_group_batches_generator_edges():
+    """Shape changes and kaldi batches flush runs; partial tails come out
+    as individual batches (no per-tail-size compile shapes)."""
+    from deeplip_tpu.train.audio import _group_batches
+
+    def b(shape, tag):
+        return {"pcm": np.zeros(shape, np.float32),
+                "labels": np.zeros((shape[0],), np.int64),
+                "n_frames": shape[1] // 160, "tag": tag}
+
+    src = [
+        b((4, 320), 0), b((4, 320), 1),            # full group of 2
+        b((4, 480), 2),                            # shape change, lone tail
+        {"feats": np.zeros((4, 3, 24)), "labels": np.zeros(4), "n_frames": 3},
+        b((4, 320), 3), b((4, 320), 4), b((4, 320), 5),  # group + tail
+    ]
+    out = list(_group_batches(iter(src), 2))
+    kinds = [("group", o["group"]) if "group" in o
+             else ("feats" if "feats" in o else "single") for o in out]
+    assert kinds == [("group", 2), "single", "feats",
+                     ("group", 2), "single"]
+    # grouped pcm stacking preserves order
+    assert out[0]["pcm"].shape == (2, 4, 320)
+    assert out[3]["labels"].shape == (2, 4)
+    # k=1 passes everything through untouched
+    thru = list(_group_batches(iter(src), 1))
+    assert all("group" not in o for o in thru) and len(thru) == len(src)
