@@ -263,14 +263,23 @@ def extract_features(
     ``-coeff·signal[n-1]`` into padding position ``n``, which always lands
     inside the last valid frame and breaks padded-vs-exact equality. With
     lengths given, pre-emphasis is applied here and masked, and the inner
-    front-ends run with ``preemph=0`` (an exact no-op).
+    front-ends run with ``preemph=0`` (an exact no-op). The stft front-end
+    never pre-emphasizes (reference: librosa.stft on raw PCM,
+    ``datasets.py:73-76``), so lengths leave it untouched. Per-utterance
+    statistics over a padded batch cannot be computed here (CMVN/deltas
+    would average pad-derived frames): pass ``normalize=False``/
+    ``delta=False`` and apply a masked CMVN downstream
+    (``train.audio.masked_cmvn``).
     """
-    if sample_lengths is not None and cfg.preemph:
-        import dataclasses
-
-        from deeplip_tpu.ops.framing import preemphasis
-
-        emph = preemphasis(signal, cfg.preemph)
+    if sample_lengths is not None and (cfg.normalize or cfg.delta):
+        raise ValueError(
+            "sample_lengths with cfg.normalize/cfg.delta would compute "
+            "CMVN/delta statistics over padding-derived frames; use "
+            "normalize=False, delta=False and a masked CMVN over the valid "
+            "frames instead (see train.audio.masked_cmvn)"
+        )
+    if sample_lengths is not None and cfg.preemph and cfg.feat_type != "stft":
+        emph = framing.preemphasis(signal, cfg.preemph)
         idx = jnp.arange(signal.shape[-1])
         mask = idx < jnp.asarray(sample_lengths)[..., None]
         signal = emph * mask.astype(signal.dtype)

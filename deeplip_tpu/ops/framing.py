@@ -95,6 +95,7 @@ def sliding_frames(
 def frame_signal(signal: jnp.ndarray, frame_len: int, frame_step: int) -> jnp.ndarray:
     """Slice ``(..., S)`` into overlapping frames ``(..., T, frame_len)``
     with the zero-pad-to-cover convention of :func:`num_frames`."""
-    padded = pad_for_frames(signal, frame_len, frame_step)
+    # sliding_frames zero-pads to (T-1+k)·step itself, which always covers
+    # pad_for_frames' (T-1)·step+frame_len target — no pre-pad needed
     t = num_frames(signal.shape[-1], frame_len, frame_step)
-    return sliding_frames(padded, frame_len, frame_step, t)
+    return sliding_frames(signal, frame_len, frame_step, t)

@@ -493,6 +493,14 @@ def pallas_audio_features(
         )
     if version not in ("auto", "v1", "v2"):
         raise ValueError(f"unknown kernel version {version!r}")
+    if version == "v2" and not _v2_eligible(cfg):
+        # the Nyquist fold packs nyq^2 into power[0]; when the edge mel bins
+        # carry weight (e.g. large n_filt), v2 would return plausible but
+        # WRONG filterbanks — refuse instead of mis-computing
+        raise ValueError(
+            "config fails the residue-class kernel's alignment/mel-edge "
+            "prerequisites (_v2_eligible); use version='auto' or 'v1'"
+        )
     if version == "v2" or (version == "auto" and _v2_eligible(cfg)):
         return _pallas_features_v2(
             signal, cfg, interpret=interpret, b_tile=min(b_tile, 4)

@@ -236,3 +236,37 @@ def test_padded_batch_preemphasis_masking():
         F.extract_features(padded, cfg, sample_lengths=np.array([n]))
     )
     np.testing.assert_allclose(fixed[0, :t], exact[0], atol=2e-5, rtol=1e-5)
+
+
+def test_stft_ignores_sample_lengths_preemph():
+    """The stft front-end never pre-emphasizes (reference: librosa.stft on
+    raw PCM, datasets.py:73-76) — passing sample_lengths must not smuggle
+    pre-emphasis in (r2 review finding: 1.59 max-abs divergence)."""
+    cfg = F.FeatureConfig(feat_type="stft", normalize=False, delta=False)
+    rng = np.random.default_rng(3)
+    sig = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
+    plain = np.asarray(F.extract_features(sig, cfg))
+    with_len = np.asarray(
+        F.extract_features(sig, cfg, sample_lengths=jnp.asarray([4000, 4000])))
+    np.testing.assert_array_equal(plain, with_len)
+
+
+def test_sample_lengths_rejects_inline_normalize():
+    """CMVN/deltas over a padded batch would average pad-derived frames;
+    extract_features must refuse instead of silently mis-normalizing."""
+    cfg = F.FeatureConfig(feat_type="mfcc", normalize=True)
+    sig = jnp.zeros((2, 4000), jnp.float32)
+    with pytest.raises(ValueError, match="masked"):
+        F.extract_features(sig, cfg, sample_lengths=jnp.asarray([4000, 3000]))
+
+
+def test_pallas_v2_forced_ineligible_raises():
+    """version='v2' on a config failing the Nyquist-fold prerequisites must
+    refuse rather than return plausible-but-wrong filterbanks."""
+    from deeplip_tpu.ops.pallas.fbank_kernel import pallas_audio_features
+
+    cfg = F.FeatureConfig(feat_type="logfbank", num_bin=80,
+                          normalize=False, delta=False)
+    sig = jnp.zeros((1, 4000), jnp.float32)
+    with pytest.raises(ValueError, match="_v2_eligible"):
+        pallas_audio_features(sig, cfg, interpret=True, version="v2")
