@@ -26,8 +26,17 @@ def read_wav(
 
     ``start``/``stop`` are sample offsets like soundfile's (``sf.read`` at
     ``datasets.py:48``). Multi-channel files return channel 0 when ``mono``
-    (the reference's ``y[:, 0]``, ``datasets.py:49``).
+    (the reference's ``y[:, 0]``, ``datasets.py:49``). IEEE-float32 WAVs
+    (librosa/soundfile output) are handled via a small RIFF parser — the
+    stdlib ``wave`` module rejects format 3.
     """
+    try:
+        return _read_wav_stdlib(path, start, stop, mono)
+    except wave.Error:
+        return _read_wav_riff(path, start, stop, mono)
+
+
+def _read_wav_stdlib(path, start, stop, mono):
     with wave.open(path, "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -62,6 +71,56 @@ def read_wav(
         if mono:
             data = data[:, 0]
     return data, rate
+
+
+def _read_wav_riff(path, start, stop, mono):
+    """Minimal RIFF walk for formats stdlib wave rejects (IEEE float32,
+    WAVE_FORMAT_EXTENSIBLE) — mirrors native/wavio.cpp parse_header."""
+    import struct
+
+    with open(path, "rb") as f:
+        if f.read(4) != b"RIFF":
+            raise ValueError(f"{path}: not a RIFF file")
+        f.read(4)
+        if f.read(4) != b"WAVE":
+            raise ValueError(f"{path}: not a WAVE file")
+        fmt = channels = rate = bits = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: no data chunk")
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                buf = f.read(size)
+                fmt, channels, rate = struct.unpack("<HHI", buf[:8])
+                bits = struct.unpack("<H", buf[14:16])[0]
+                if fmt == 0xFFFE and size >= 40:  # EXTENSIBLE: subformat tag
+                    fmt = struct.unpack("<H", buf[24:26])[0]
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError(f"{path}: data before fmt chunk")
+                frame_bytes = (bits // 8) * channels
+                n_frames = size // frame_bytes
+                stop2 = n_frames if stop is None else min(stop, n_frames)
+                start2 = min(start, stop2)
+                f.seek(start2 * frame_bytes, 1)
+                raw = f.read((stop2 - start2) * frame_bytes)
+                if fmt == 3 and bits == 32:
+                    data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+                elif fmt == 1 and bits == 16:
+                    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+                elif fmt == 1 and bits == 32:
+                    data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+                else:
+                    raise ValueError(
+                        f"{path}: unsupported wav format {fmt}/{bits}-bit")
+                if channels > 1:
+                    data = data.reshape(-1, channels)
+                    if mono:
+                        data = data[:, 0]
+                return data, rate
+            else:
+                f.seek(size + (size & 1), 1)
 
 
 def write_wav(path: str, data: np.ndarray, rate: int) -> None:

@@ -28,7 +28,31 @@ from deeplip_tpu.data.audio_io import read_wav
 from deeplip_tpu.data.manifest import SpeakerManifest
 from deeplip_tpu.data.prefetch import ThreadedPrefetcher
 from deeplip_tpu.data.sampler import SpeakerBatchSampler
-from deeplip_tpu.ops.framing import num_frames, samples_for_frames
+from deeplip_tpu.ops.framing import num_frames, samples_for_frames, frame_len_step
+
+
+def assemble_speaker_crop(rng, speaker, samples_num: int, reader,
+                          first_utt_out: list | None = None) -> np.ndarray:
+    """Random crop-and-concat of one speaker's utterances to exactly
+    ``samples_num`` samples (reference collate semantics,
+    ``datasets.py:101-105``; shared by the audio and AV pipelines).
+
+    ``first_utt_out``: optional 1-slot list receiving the first sampled
+    utterance (the AV pipeline pairs video with it, ``datasets.py:143-150``).
+    The reference reads start→EOF and truncates after concat; reading only
+    the still-needed samples yields the identical concatenation prefix at a
+    fraction of the decode cost."""
+    pieces, n = [], 0
+    while n < samples_num:
+        utt = speaker[rng.integers(0, len(speaker))]
+        if first_utt_out is not None and not first_utt_out:
+            first_utt_out.append(utt)
+        start = int(rng.uniform(0, utt.duration) * utt.rate)
+        y, _ = reader(utt.path, start=start, stop=start + (samples_num - n))
+        if len(y):
+            pieces.append(y)
+            n += len(y)
+    return np.concatenate(pieces)[:samples_num]
 
 
 class AudioTrainPipeline:
@@ -72,20 +96,8 @@ class AudioTrainPipeline:
         samples_num = samples_for_frames(n_frames, self.win_len, self.win_shift, self.rate)
         batch = np.zeros((len(sids), samples_num), np.float32)
         for row, sid in enumerate(sids):
-            speaker = self.manifest.speakers[sid]
-            pieces, n = [], 0
-            while n < samples_num:
-                utt = speaker[rng.integers(0, len(speaker))]
-                start = int(rng.uniform(0, utt.duration) * utt.rate)
-                # the reference reads start→EOF and truncates after concat
-                # (datasets.py:101,105); reading only the still-needed samples
-                # yields the identical concatenation prefix at a fraction of
-                # the decode cost (files are often much longer than the crop)
-                y, _ = self.reader(utt.path, start=start, stop=start + (samples_num - n))
-                if len(y):
-                    pieces.append(y)
-                    n += len(y)
-            batch[row] = np.concatenate(pieces)[:samples_num]
+            batch[row] = assemble_speaker_crop(
+                rng, self.manifest.speakers[sid], samples_num, self.reader)
         return {
             "pcm": batch,
             "labels": sids.astype(np.int64),
@@ -134,8 +146,10 @@ class EvalUtteranceSet:
         self.batch_size = batch_size
         self.reader = reader
         self.num_workers = num_workers
-        self.frame_len = int(round(win_len * rate))
-        self.frame_step = int(round(win_shift * rate))
+        # round-half-up like the device DSP (python_speech_features
+        # convention) — int(round()) banker's rounding could disagree on
+        # .5-landing products and skew the frame-count estimate by one
+        self.frame_len, self.frame_step = frame_len_step(win_len, win_shift, rate)
 
     def _load(self, utt: EvalUtterance) -> tuple[str, np.ndarray]:
         y, sr = self.reader(utt.path)

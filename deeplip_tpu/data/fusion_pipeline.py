@@ -23,6 +23,7 @@ from typing import Callable, Iterator, Mapping, Sequence
 import numpy as np
 
 from deeplip_tpu.data.audio_io import read_wav
+from deeplip_tpu.data.audio_pipeline import assemble_speaker_crop
 from deeplip_tpu.data.manifest import SpeakerManifest
 from deeplip_tpu.data.prefetch import ThreadedPrefetcher
 from deeplip_tpu.data.sampler import SpeakerBatchSampler
@@ -83,18 +84,10 @@ class AVTrainPipeline:
             speaker = self.manifest.speakers[sid]
             # the paired utterance is the first crop source (the reference
             # pairs video with the sampled utterance, datasets.py:143-150)
-            first_utt = None
-            pieces, n = [], 0
-            while n < samples_num:
-                utt = speaker[rng.integers(0, len(speaker))]
-                if first_utt is None:
-                    first_utt = utt
-                start = int(rng.uniform(0, utt.duration) * utt.rate)
-                y, _ = self.reader(utt.path, start=start, stop=start + (samples_num - n))
-                if len(y):
-                    pieces.append(y)
-                    n += len(y)
-            pcm[row] = np.concatenate(pieces)[:samples_num]
+            holder: list = []
+            pcm[row] = assemble_speaker_crop(
+                rng, speaker, samples_num, self.reader, first_utt_out=holder)
+            first_utt = holder[0]
             clip_paths = list(self.video_map.get(first_utt.path, ()))[: self.max_clips]
             for g, cp in enumerate(clip_paths):
                 data = load_clip(cp)[: self.clip_frames]

@@ -96,12 +96,21 @@ class KaldiTrainPipeline:
         for row, sid in enumerate(sids):
             speaker = self.speakers[sid]
             pieces, n = [], 0
+            attempts = 0
             while n < n_frames:
                 ark, off = speaker[rng.integers(0, len(speaker))]
                 mat = read_ark_entry(ark, off)
                 start = rng.integers(0, max(len(mat) - 1, 1))
                 pieces.append(mat[start:])
                 n += len(mat) - start
+                attempts += 1
+                if n == 0 and attempts >= 8 * len(speaker):
+                    # every sampled matrix empty: a failed upstream feature
+                    # extraction must not hang the prefetch worker forever
+                    raise ValueError(
+                        f"speaker {sid}: all sampled kaldi feature matrices "
+                        "are empty; cannot assemble a crop"
+                    )
             feats[row] = np.concatenate(pieces)[:n_frames]
         return {
             "feats": feats,

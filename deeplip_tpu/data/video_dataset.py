@@ -94,6 +94,24 @@ def load_clips(paths: Sequence[str], num_threads: int = 4) -> list[np.ndarray]:
     return [out[p] for p in ordered]
 
 
+def _probe_clip_length(path: str) -> int:
+    """Frame count from the npy/npz header only (no payload read)."""
+    try:
+        from numpy.lib import format as npf
+
+        if path.endswith(".npz"):
+            import zipfile
+
+            with zipfile.ZipFile(path) as z, z.open("data.npy") as f:
+                shape, _, _ = npf._read_array_header(f, npf.read_magic(f))
+        else:
+            with open(path, "rb") as f:
+                shape, _, _ = npf._read_array_header(f, npf.read_magic(f))
+        return int(shape[0])
+    except Exception:  # private-API drift or odd container: full load
+        return int(len(load_clip(path)))
+
+
 class VideoClipBatches:
     """Length-bucketed uint8 clip batches for training or extraction."""
 
@@ -125,48 +143,76 @@ class VideoClipBatches:
             data = data[: self.max_frames]
         return clip, data
 
-    def _load_all(self, clips: Sequence[VideoClip]) -> list[tuple[VideoClip, np.ndarray]]:
+    def _probe_lengths(self, clips: Sequence[VideoClip]) -> list[int]:
+        """Clip frame counts from headers only — no payload reads (native
+        C++ probe, else a zipfile/npy-header stream read)."""
         from deeplip_tpu import native
 
         if native.npy_available():
-            arrays = load_clips([c.path for c in clips], num_threads=self.num_workers)
-            if self.max_frames:
-                arrays = [a[: self.max_frames] for a in arrays]
-            return list(zip(clips, arrays))
+            try:
+                shapes = native.probe_npy_shapes(
+                    [c.path for c in clips], n_threads=self.num_workers)
+                return [int(s[0][0]) for s in shapes]
+            except (IOError, ValueError):
+                pass
         return list(
-            ThreadedPrefetcher(clips, self._load, num_workers=self.num_workers)
+            ThreadedPrefetcher(
+                clips, lambda c: _probe_clip_length(c.path),
+                num_workers=self.num_workers,
+            )
         )
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        """Length-bucketed batches, streamed: a cheap header scan buckets the
+        clips, then each batch's payloads load under a ThreadedPrefetcher —
+        O(batch) memory, first step starts after one batch (the round-1
+        implementation decoded the whole corpus up front each epoch)."""
         order = np.arange(len(self.clips))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch_idx))
             rng.shuffle(order)
-        loaded = self._load_all([self.clips[i] for i in order])
-        items = []
-        for clip, data in loaded:
-            t = len(data)
-            bucket = -(-t // self.bucket_t) * self.bucket_t
-            items.append((bucket, clip, data))
-        items.sort(key=lambda it: (it[0], it[1].name))
+        clips = [self.clips[i] for i in order]
+        lengths = self._probe_lengths(clips)
+        if self.max_frames:
+            lengths = [min(t, self.max_frames) for t in lengths]
+        items = list(zip(clips, lengths))
+        # stable sort by bucket ONLY: within a bucket the (shuffled) order
+        # survives, so epochs see different batch compositions — a
+        # (bucket, name) key would be a total order that silently undoes
+        # the shuffle every epoch
+        items.sort(key=lambda it: -(-it[1] // self.bucket_t))
+
+        specs: list[list[tuple[VideoClip, int]]] = []
         i = 0
         while i < len(items):
-            bucket = items[i][0]
-            chunk = [it for it in items[i : i + self.batch_size] if it[0] == bucket]
+            bucket = -(-items[i][1] // self.bucket_t)
+            chunk = [
+                it for it in items[i : i + self.batch_size]
+                if -(-it[1] // self.bucket_t) == bucket
+            ]
             i += len(chunk)
-            h, w = chunk[0][2].shape[1:]
-            batch = np.zeros((len(chunk), bucket, h, w), np.uint8)
-            lengths = np.zeros((len(chunk),), np.int32)
+            specs.append(chunk)
+
+        def build(chunk):
+            arrays = load_clips([c.path for c, _ in chunk],
+                                num_threads=self.num_workers)
+            if self.max_frames:
+                arrays = [a[: self.max_frames] for a in arrays]
+            bucket_frames = max(
+                -(-t // self.bucket_t) * self.bucket_t for _, t in chunk)
+            h, w = arrays[0].shape[1:]
+            batch = np.zeros((len(chunk), bucket_frames, h, w), np.uint8)
+            lens = np.zeros((len(chunk),), np.int32)
             labels = np.zeros((len(chunk),), np.int64)
             names = []
-            for row, (_, clip, data) in enumerate(chunk):
+            for row, ((clip, _), data) in enumerate(zip(chunk, arrays)):
                 batch[row, : len(data)] = data
-                lengths[row] = len(data)
+                lens[row] = len(data)
                 labels[row] = clip.label
                 names.append(clip.name)
-            yield {
-                "clips": batch,
-                "lengths": lengths,
-                "labels": labels,
-                "names": names,
-            }
+            return {"clips": batch, "lengths": lens, "labels": labels,
+                    "names": names}
+
+        yield from ThreadedPrefetcher(
+            specs, build, num_workers=1, lookahead=2
+        )

@@ -57,26 +57,37 @@ def write_ark_scp(
                 f.write(f"{utt} {ark_path}:{off}\n")
 
 
+def _expect(f, want: bytes, what: str) -> None:
+    # explicit check, NOT assert: asserts are compiled out under python -O,
+    # and these reads MUST consume stream bytes either way
+    got = f.read(len(want))
+    if got != want:
+        raise ValueError(f"bad kaldi {what}: expected {want!r}, got {got!r}")
+
+
+def _read_entry_body(f) -> np.ndarray:
+    """Read one record body from an open handle positioned at '\x00B'."""
+    _expect(f, b"\x00B", "binary marker")
+    token = f.read(3)
+    if token == b"FV ":
+        _expect(f, b"\x04", "size marker")
+        (dim,) = struct.unpack("<i", f.read(4))
+        return np.frombuffer(f.read(4 * dim), "<f4").copy()
+    if token == b"FM ":
+        _expect(f, b"\x04", "size marker")
+        (rows,) = struct.unpack("<i", f.read(4))
+        _expect(f, b"\x04", "size marker")
+        (cols,) = struct.unpack("<i", f.read(4))
+        data = np.frombuffer(f.read(4 * rows * cols), "<f4")
+        return data.reshape(rows, cols).copy()
+    raise ValueError(f"unsupported kaldi type token {token!r}")
+
+
 def read_ark_entry(ark_path: str, offset: int) -> np.ndarray:
     """Read one record given its scp byte offset."""
     with open(ark_path, "rb") as f:
         f.seek(offset)
-        marker = f.read(2)
-        if marker != b"\x00B":
-            raise ValueError(f"not a binary kaldi record at offset {offset}")
-        token = f.read(3)
-        if token == b"FV ":
-            assert f.read(1) == b"\x04"
-            (dim,) = struct.unpack("<i", f.read(4))
-            return np.frombuffer(f.read(4 * dim), "<f4").copy()
-        if token == b"FM ":
-            assert f.read(1) == b"\x04"
-            (rows,) = struct.unpack("<i", f.read(4))
-            assert f.read(1) == b"\x04"
-            (cols,) = struct.unpack("<i", f.read(4))
-            data = np.frombuffer(f.read(4 * rows * cols), "<f4")
-            return data.reshape(rows, cols).copy()
-        raise ValueError(f"unsupported kaldi type token {token!r}")
+        return _read_entry_body(f)
 
 
 def read_scp(scp_path: str) -> Iterator[tuple[str, np.ndarray]]:
@@ -92,7 +103,7 @@ def read_scp(scp_path: str) -> Iterator[tuple[str, np.ndarray]]:
 
 
 def read_ark(ark_path: str) -> Iterator[tuple[str, np.ndarray]]:
-    """Iterate all records of a binary ark sequentially."""
+    """Iterate all records of a binary ark in ONE sequential pass."""
     with open(ark_path, "rb") as f:
         while True:
             utt = bytearray()
@@ -104,29 +115,8 @@ def read_ark(ark_path: str) -> Iterator[tuple[str, np.ndarray]]:
                 ch = f.read(1)
                 if not ch:
                     return
-            offset = f.tell()
-            f.seek(offset)
-            yield utt.decode(), read_ark_entry(ark_path, offset)
-            # re-open position: read_ark_entry used its own handle; skip record
-            f.seek(offset)
-            _skip_record(f)
+            yield utt.decode(), _read_entry_body(f)
 
-
-def _skip_record(f) -> None:
-    assert f.read(2) == b"\x00B"
-    token = f.read(3)
-    if token == b"FV ":
-        f.read(1)
-        (dim,) = struct.unpack("<i", f.read(4))
-        f.seek(4 * dim, 1)
-    elif token == b"FM ":
-        f.read(1)
-        (rows,) = struct.unpack("<i", f.read(4))
-        f.read(1)
-        (cols,) = struct.unpack("<i", f.read(4))
-        f.seek(4 * rows * cols, 1)
-    else:
-        raise ValueError(f"unsupported token {token!r}")
 
 
 class KaldiHelper:

@@ -24,15 +24,21 @@ import numpy as np
 
 
 def _to_numpy(v) -> np.ndarray:
-    if hasattr(v, "detach"):
-        return v.detach().cpu().numpy()
-    return np.asarray(v)
+    arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    # params are always float32 in this framework (CLAUDE.md): fp16/bf16
+    # checkpoints would silently fail the 1e-4 embedding-parity bar
+    if np.issubdtype(arr.dtype, np.floating) and arr.dtype != np.float32:
+        arr = arr.astype(np.float32)
+    return arr
 
 
 def _clean_state_dict(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]:
     out = {}
     for k, v in state_dict.items():
-        k = k.replace("module.", "")
+        # strip the DataParallel prefix only — replace() would clobber a
+        # submodule literally named 'module' anywhere in the key
+        if k.startswith("module."):
+            k = k[len("module."):]
         if k.startswith("fc3") or k.endswith("num_batches_tracked"):
             continue
         out[k] = _to_numpy(v)

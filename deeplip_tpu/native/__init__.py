@@ -165,6 +165,45 @@ def npy_available() -> bool:
     return lib is not None and hasattr(lib, "dl_read_npy_batch")
 
 
+def _probe_npy(paths: list[str], key: str, n_threads: int):
+    """Pass-1 probe: payload byte counts, shapes, ndims, descrs."""
+    lib = _load()
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_key = key.encode()
+    shapes = np.zeros((n, 8), np.int64)
+    ndims = np.zeros((n,), np.int32)
+    descrs = ctypes.create_string_buffer(n * 8)
+    wrote = np.zeros((n,), np.int64)
+    zeros = np.zeros((n,), np.int64)
+    as_l = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+    lib.dl_read_npy_batch(
+        c_paths, c_key, None, as_l(zeros), as_l(zeros), as_l(wrote),
+        as_l(shapes), ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        descrs, n, n_threads,
+    )
+    bad = np.nonzero(wrote < 0)[0]
+    if bad.size:
+        raise IOError(f"dl_read_npy({paths[bad[0]]!r}) failed: {wrote[bad[0]]}")
+    return c_paths, c_key, shapes, ndims, descrs, wrote
+
+
+def probe_npy_shapes(
+    paths: list[str], key: str = "data", n_threads: int = 4
+) -> list[tuple[tuple, np.dtype]]:
+    """Threaded header probe: ``(shape, dtype)`` per npy/npz file WITHOUT
+    reading payloads (the C++ side parses only zip directory + npy header,
+    inflating at most the first 4 KB of deflated entries)."""
+    if not paths:
+        return []
+    _, _, shapes, ndims, descrs, _ = _probe_npy(list(paths), key, n_threads)
+    out = []
+    for i in range(len(paths)):
+        descr = descrs.raw[i * 8 : (i + 1) * 8].split(b"\0", 1)[0].decode()
+        out.append((tuple(shapes[i, : ndims[i]]), np.dtype(descr)))
+    return out
+
+
 def read_npy_batch(
     paths: list[str], key: str = "data", n_threads: int = 4
 ) -> list[np.ndarray]:
@@ -176,28 +215,13 @@ def read_npy_batch(
     (``models/video_models/dataset.py:80-88``) and the embedding-npz groups
     the fusion back-ends glob (``models/audio_models/utils.py:357-373``).
     """
-    lib = _load()
     n = len(paths)
     if n == 0:
         return []
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    c_key = key.encode()
-    shapes = np.zeros((n, 8), np.int64)
-    ndims = np.zeros((n,), np.int32)
-    descrs = ctypes.create_string_buffer(n * 8)
-    wrote = np.zeros((n,), np.int64)
-    zeros = np.zeros((n,), np.int64)
+    lib = _load()
+    c_paths, c_key, shapes, ndims, descrs, wrote = _probe_npy(
+        list(paths), key, n_threads)
     as_l = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
-
-    # pass 1: probe payload sizes + shapes (capacity 0)
-    lib.dl_read_npy_batch(
-        c_paths, c_key, None, as_l(zeros), as_l(zeros), as_l(wrote),
-        as_l(shapes), ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        descrs, n, n_threads,
-    )
-    bad = np.nonzero(wrote < 0)[0]
-    if bad.size:
-        raise IOError(f"dl_read_npy({paths[bad[0]]!r}) failed: {wrote[bad[0]]}")
 
     offsets = np.zeros((n,), np.int64)
     np.cumsum(wrote[:-1], out=offsets[1:])

@@ -201,3 +201,20 @@ def test_grouped_stepping_matches_single(video_corpus, tmp_path):
                          shuffle=False), epochs=1)
     assert np.isfinite(
         float(np.sum(np.asarray(jax.tree_util.tree_leaves(state_c.params)[0]))))
+
+
+def test_shuffle_changes_epoch_order(video_corpus):
+    """rng.shuffle must survive the bucket sort (r2 review finding: a
+    (bucket, name) sort key was a total order that undid the shuffle, so
+    every epoch trained on identical batch sequences)."""
+    clips = scan_clip_dir(video_corpus)
+    batches = VideoClipBatches(clips, batch_size=4, bucket_t=4, shuffle=True,
+                               num_workers=2)
+    orders = []
+    for epoch in range(3):
+        orders.append([tuple(b["names"]) for b in batches.epoch(epoch)])
+    assert orders[0] != orders[1] or orders[1] != orders[2]
+    # and each epoch still covers every clip exactly once
+    for ep in orders:
+        names = [n for batch in ep for n in batch]
+        assert sorted(names) == sorted(c.name for c in clips)
