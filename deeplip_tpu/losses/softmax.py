@@ -99,7 +99,8 @@ class AAMSoftmax(nn.Module):
     init_margin: float = 0.2
 
     @nn.compact
-    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, margin=None):
+    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, margin=None,
+                 reduction: str = "mean"):
         d = embeddings.shape[-1]
         w = self.param(
             "weights",
@@ -109,7 +110,10 @@ class AAMSoftmax(nn.Module):
         margin = self.init_margin if margin is None else margin
         e = embeddings / jnp.linalg.norm(embeddings, axis=-1, keepdims=True).clip(1e-12)
         wn = w / jnp.linalg.norm(w, axis=-1, keepdims=True).clip(1e-12)
-        cos = jnp.matmul(e, wn.T, precision="highest").clip(-1.0, 1.0)
+        # clip strictly inside [-1, 1]: at exactly +-1 both sqrt(1-cos^2)
+        # and arccos have infinite derivatives -> NaN gradients the first
+        # time an embedding aligns with its class weight
+        cos = jnp.matmul(e, wn.T, precision="highest").clip(-1.0 + 1e-7, 1.0 - 1e-7)
         sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
         cos_m = jnp.cos(margin)
         sin_m = jnp.sin(margin)
@@ -117,7 +121,7 @@ class AAMSoftmax(nn.Module):
         phi = jnp.where(cos > jnp.cos(jnp.pi - margin), phi, cos - margin * sin_m)
         onehot = _one_hot(labels, self.num_classes, cos.dtype)
         logits_m = jnp.where(onehot > 0, phi, cos)
-        loss = softmax_cross_entropy(self.scale * logits_m, labels)
+        loss = softmax_cross_entropy(self.scale * logits_m, labels, reduction)
         return loss, cos
 
 
@@ -134,7 +138,8 @@ class ASoftmax(nn.Module):
     base_lambda: float = 5.0
 
     @nn.compact
-    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, lam=None):
+    def __call__(self, embeddings: jnp.ndarray, labels: jnp.ndarray, lam=None,
+                 reduction: str = "mean"):
         d = embeddings.shape[-1]
         w = self.param(
             "weights",
@@ -145,14 +150,17 @@ class ASoftmax(nn.Module):
         norms = jnp.linalg.norm(embeddings, axis=-1, keepdims=True).clip(1e-12)
         e = embeddings / norms
         wn = w / jnp.linalg.norm(w, axis=-1, keepdims=True).clip(1e-12)
-        cos = jnp.matmul(e, wn.T, precision="highest").clip(-1.0, 1.0)
+        cos = jnp.matmul(e, wn.T, precision="highest").clip(-1.0 + 1e-7, 1.0 - 1e-7)
         theta = jnp.arccos(cos)
         k = jnp.floor(self.m * theta / jnp.pi)
-        psi = ((-1.0) ** k) * jnp.cos(self.m * theta) - 2.0 * k
+        # (-1)^k with a traced float exponent lowers to pow(-1, k) which
+        # NaNs on TPU (expanded as exp(k*log(-1))); parity-select instead
+        sign = 1.0 - 2.0 * jnp.mod(k, 2.0)
+        psi = sign * jnp.cos(self.m * theta) - 2.0 * k
         blended = (lam * cos + psi) / (1.0 + lam)
         onehot = _one_hot(labels, self.num_classes, cos.dtype)
         logits_m = jnp.where(onehot > 0, blended, cos) * norms
-        loss = softmax_cross_entropy(logits_m, labels)
+        loss = softmax_cross_entropy(logits_m, labels, reduction)
         return loss, cos * norms
 
 

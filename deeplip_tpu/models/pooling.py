@@ -45,14 +45,18 @@ class MeanStdPooling(nn.Module):
         if mask is None:
             mean = jnp.mean(x, axis=1)
             # unbiased (N-1) std to match torch.std
-            var = jnp.sum((x - mean[:, None, :]) ** 2, axis=1) / (x.shape[1] - 1)
+            var = jnp.sum((x - mean[:, None, :]) ** 2, axis=1) / max(x.shape[1] - 1, 1)
         else:
             count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
             mean = jnp.sum(x * mask, axis=1) / count
             var = jnp.sum(((x - mean[:, None, :]) ** 2) * mask, axis=1) / jnp.maximum(
                 count - 1.0, 1.0
             )
-        return jnp.concatenate([mean, jnp.sqrt(var)], axis=-1)
+        # +1e-12 inside the sqrt: bit-invisible for normal variances (needs
+        # ~1.2e-7 relative to move an f32) but keeps d(sqrt)/d(var) finite
+        # when a clamped single-frame utterance yields var == 0, which would
+        # otherwise inject NaN gradients into the whole batch
+        return jnp.concatenate([mean, jnp.sqrt(var + 1e-12)], axis=-1)
 
 
 class AveragePooling(nn.Module):

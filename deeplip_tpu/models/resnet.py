@@ -56,8 +56,7 @@ class BasicBlock(nn.Module):
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
-        act1 = make_act("relu1")
-        out = act1(out) if self.relu_type == "relu" else act1(out)
+        out = make_act("relu1")(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="conv2"
@@ -65,11 +64,16 @@ class BasicBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
         if needs_down:
             if self.avg_pool_downsample:
+                # torch AvgPool2d(ceil_mode=True) (reference resnet.py:21):
+                # odd dims round UP so the residual matches the stride-2
+                # conv branch; edge windows average only in-bounds pixels
+                pad_h = -residual.shape[1] % self.stride
+                pad_w = -residual.shape[2] % self.stride
                 residual = nn.avg_pool(
                     residual,
                     (self.stride, self.stride),
                     strides=(self.stride, self.stride),
-                    padding=((0, 0), (0, 0)),
+                    padding=((0, pad_h), (0, pad_w)),
                     count_include_pad=False,
                 )
                 residual = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="down_conv")(residual)

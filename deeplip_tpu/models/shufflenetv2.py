@@ -8,7 +8,7 @@ are omitted because the 3D frontend replaces them (the reference wires
 
 Stage widths follow the reference's width-multiplier table
 (``shufflenetv2.py:117-129``): 0.5→(48, 96, 192, 1024), 1.0→(116, 232, 464,
-1024), 1.5→(176, 352, 704, 1024), 2.0→(224, 488, 976, 2048), with stage
+1024), 1.5→(176, 352, 704, 1024), 2.0→(244, 488, 976, 2048), with stage
 repeats (4, 8, 4).
 """
 
@@ -34,7 +34,7 @@ def channel_shuffle(x: jnp.ndarray, groups: int = 2) -> jnp.ndarray:
     return x.reshape(*lead, c)
 
 
-def _conv_bn(x, features, kernel, stride, groups, act, train, name_prefix, module):
+def _conv_bn(x, features, kernel, stride, groups, act, train, name_prefix):
     pad = (kernel - 1) // 2
     x = nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
@@ -57,16 +57,16 @@ class InvertedResidual(nn.Module):
         half = self.features // 2
         if self.stride == 1:
             x1, x2 = jnp.split(x, 2, axis=-1)
-            b = _conv_bn(x2, half, 1, 1, 1, True, train, "pw1", self)
-            b = _conv_bn(b, half, 3, 1, half, False, train, "dw", self)
-            b = _conv_bn(b, half, 1, 1, 1, True, train, "pw2", self)
+            b = _conv_bn(x2, half, 1, 1, 1, True, train, "pw1")
+            b = _conv_bn(b, half, 3, 1, half, False, train, "dw")
+            b = _conv_bn(b, half, 1, 1, 1, True, train, "pw2")
             out = jnp.concatenate([x1, b], axis=-1)
         else:
-            left = _conv_bn(x, x.shape[-1], 3, self.stride, x.shape[-1], False, train, "l_dw", self)
-            left = _conv_bn(left, half, 1, 1, 1, True, train, "l_pw", self)
-            right = _conv_bn(x, half, 1, 1, 1, True, train, "r_pw1", self)
-            right = _conv_bn(right, half, 3, self.stride, half, False, train, "r_dw", self)
-            right = _conv_bn(right, half, 1, 1, 1, True, train, "r_pw2", self)
+            left = _conv_bn(x, x.shape[-1], 3, self.stride, x.shape[-1], False, train, "l_dw")
+            left = _conv_bn(left, half, 1, 1, 1, True, train, "l_pw")
+            right = _conv_bn(x, half, 1, 1, 1, True, train, "r_pw1")
+            right = _conv_bn(right, half, 3, self.stride, half, False, train, "r_dw")
+            right = _conv_bn(right, half, 1, 1, 1, True, train, "r_pw2")
             out = jnp.concatenate([left, right], axis=-1)
         return channel_shuffle(out, 2)
 
@@ -89,5 +89,5 @@ class ShuffleNetV2Trunk(nn.Module):
                     features=c, stride=2 if i == 0 else 1,
                     name=f"stage{stage}_unit{i}",
                 )(x, train=train)
-        x = _conv_bn(x, chans[-1], 1, 1, 1, True, train, "conv_last", self)
+        x = _conv_bn(x, chans[-1], 1, 1, 1, True, train, "conv_last")
         return jnp.mean(x, axis=(1, 2))

@@ -17,6 +17,13 @@ Re-designs ``models/audio_models/tdnn.py`` TPU-first:
   the *global* batch (sync-BN); the reference's DataParallel computed
   per-replica stats, which is a strictly noisier estimate.
 
+Scope of the padded-batch exactness guarantee: EVAL (running-stat BN +
+VALID convs + masked pooling) reproduces per-utterance results exactly for
+any bucket padding. TRAIN-mode BN computes batch statistics over all time
+positions — exact-length crops (the training recipe, reference
+``datasets.py:112-136``) never pad, but training on padded buckets would
+let pad-influenced frames into the statistics.
+
 Embedding taps (parity with ``tdnn.py:89-111``):
 ``extract_embedding`` returns ``(xv, x_a)`` where ``xv`` is the second FC
 output (the LMCL embedding) and ``x_a`` the first FC pre-activation (the

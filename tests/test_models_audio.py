@@ -240,3 +240,33 @@ def test_compact_bilinear_pooling_gradients_flow():
     g = jax.grad(loss_fn)(e1)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_asoftmax_psi_decomposition_tpu_safe():
+    """psi(theta) = sign*cos(m*theta) - 2k must be continuous and monotone
+    decreasing in theta (SphereFace); the sign term is computed by parity
+    select, not (-1.0)**k, which lowers to pow(-1, k) and NaNs on TPU."""
+    m = 4
+    theta = np.linspace(0, np.pi, 2001)
+    k = np.floor(m * theta / np.pi)
+    sign = 1.0 - 2.0 * np.mod(k, 2.0)
+    psi = sign * np.cos(m * theta) - 2.0 * k
+    np.testing.assert_allclose(sign, (-1.0) ** k)
+    assert np.all(np.diff(psi) <= 1e-9)  # monotone non-increasing
+    assert np.all(np.abs(np.diff(psi)) < 0.02)  # continuous (no jumps)
+
+
+def test_asoftmax_and_aam_accept_reduction_none():
+    """build_criterion exposes AAM/A-Softmax to the fusion trainer, which
+    calls every criterion with reduction='none' (train/fusion.py)."""
+    from deeplip_tpu.losses.softmax import build_criterion
+
+    emb = jnp.asarray(np.random.default_rng(0).standard_normal((6, 16)),
+                      jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 0, 1, 2])
+    for name in ("AAM-Softmax", "A-Softmax"):
+        crit = build_criterion(name, num_classes=4)
+        variables = crit.init(jax.random.PRNGKey(0), emb, labels)
+        loss, logits = crit.apply(variables, emb, labels, reduction="none")
+        assert loss.shape == (6,)
+        assert np.isfinite(np.asarray(loss)).all()

@@ -127,3 +127,20 @@ def test_compact_bilinear_pooling_approximates_inner_product():
     scale = np.linalg.norm(np.asarray(a)) * np.linalg.norm(np.asarray(b)) * \
         np.linalg.norm(np.asarray(c)) * np.linalg.norm(np.asarray(d))
     assert abs(got - want) < 0.35 * scale
+
+
+def test_avg_pool_downsample_odd_dims_ceil_mode():
+    """The avg-pool downsample variant must ceil odd spatial dims like torch
+    AvgPool2d(ceil_mode=True) (reference resnet.py:13-21) so the residual
+    matches the stride-2 conv branch (r2 review: VALID pooling shape-crashed
+    on the standard 88x88 pipeline's 11x11 stage)."""
+    from deeplip_tpu.models.resnet import ResNetTrunk
+
+    trunk = ResNetTrunk(layers=(1, 1, 1, 1), relu_type="relu",
+                        avg_pool_downsample=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 11, 11, 64)),
+                    jnp.float32)
+    variables = trunk.init(jax.random.PRNGKey(0), x, train=False)
+    out = trunk.apply(variables, x, train=False)
+    assert out.shape == (2, 512)
+    assert np.isfinite(np.asarray(out)).all()
