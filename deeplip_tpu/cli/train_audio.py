@@ -56,18 +56,21 @@ def _extract_and_save(trainer, trial_path, root, out_dir):
 
 def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
     data, test = cfg.data, cfg.get("test", {})
+    if mode in ("test", "av_test") and not trainer.loaded_checkpoint:
+        import sys
+
+        print(
+            f"WARNING: mode '{mode}' is evaluating RANDOMLY INITIALIZED "
+            "weights (no train.resume / --resume checkpoint was loaded); "
+            "the reported EER is meaningless for a real system",
+            file=sys.stderr,
+        )
     if mode == "train":
         trainer.train()
         trainer.model_average(avg_num=4)
-        trial = data.get("trial_grid", "database/trial_grid_v1.txt")
-        store = _extract_and_save(
-            trainer, trial, data.get("test_root", "."), os.path.join(trainer.exp_dir, "test_xv")
-        )
-        eer, _ = trainer.evaluate(trial, store)
-        print(f"EER: {eer * 100:.6f}%")
-        return
-
-    if mode == "test":
+    if mode in ("train", "test"):
+        # shared extract+score tail (reference: train mode also evaluates,
+        # train_audio.py:497-500)
         trial = data.get("trial_grid", "database/trial_grid_v1.txt")
         store = _extract_and_save(
             trainer, trial, data.get("test_root", "."), os.path.join(trainer.exp_dir, "test_xv")
@@ -82,6 +85,11 @@ def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
             dev_names = [l.strip() for l in open(data["plda_dev_list"]) if l.strip()]
             dev_set = EvalUtteranceSet(
                 utterances_from_trials_list(dev_names, data.get("dev_root", ".")),
+                rate=trainer.feat_cfg.rate,
+                win_len=trainer.feat_cfg.win_len,
+                win_shift=trainer.feat_cfg.win_shift,
+                bucket_frames=int(trainer.test_opts.get("bucket_frames", 100)),
+                batch_size=int(trainer.test_opts.get("batch_size", 64)),
             )
             dev_store = trainer.extract_embeddings(dev_set)
             x = np.stack([dev_store[n] for n in dev_names])

@@ -27,7 +27,7 @@ from deeplip_tpu.data.fusion_pipeline import AVTrainPipeline
 from deeplip_tpu.data.manifest import SpeakerManifest
 from deeplip_tpu.data.video_dataset import load_clip
 from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
-from deeplip_tpu.ops.framing import num_frames
+from deeplip_tpu.ops.framing import frame_len_step, num_frames
 from deeplip_tpu.train.fusion import FusionTrainer
 
 
@@ -66,6 +66,19 @@ def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
         manifest = SpeakerManifest.load(cfg.data["train_manifest"])
         n_spk = manifest.n_spk
     sgd = train_opts.get("sgd", {})
+    # MultiStep milestones [4, 8] are EPOCH indices (reference
+    # train_fusion.py:130); the schedule counts optimizer steps, so it
+    # needs the per-epoch step count to convert
+    bs = int(train_opts.get("bs", 60))
+    steps_per_epoch = 1
+    if manifest is not None:
+        frames = cfg.data.get("frames", (200, 400))
+        wl, ws = (cfg.data.get("python_data_config", {}).get("mfcc", {})
+                  .get("win_len", 0.025),
+                  cfg.data.get("python_data_config", {}).get("mfcc", {})
+                  .get("win_shift", 0.01))
+        epoch_len = manifest.epoch_length(float(np.mean(frames)), wl, ws)
+        steps_per_epoch = max(epoch_len // bs, 1)
     trainer = FusionTrainer(
         model_opts.audio_config,
         video_cfg,
@@ -76,18 +89,28 @@ def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
         momentum=float(sgd.get("momentum", 0.9)),
         lr_decay_step=train_opts.get("lr_decay_step", [4, 8]),
         lr_decay=float(train_opts.get("lr_decay", 0.1)),
+        steps_per_epoch=steps_per_epoch,
         exp_root=exp_root,
         log_time=log_time,
         compute_dtype=str(train_opts.get("compute_dtype", "float32")),
     )
     trainer._manifest = manifest
-    audio_resume = train_opts.get("audio_config", {}).get("resume")
-    video_resume = train_opts.get("video_config", {}).get("resume")
+    def _resolve(resume, which):
+        if resume in (None, "", "None", "null", "~"):
+            return None
+        if not os.path.exists(str(resume)):
+            # a mistyped encoder path must fail loudly: frozen random
+            # encoders would produce plausible-looking but meaningless EERs
+            raise FileNotFoundError(
+                f"{which} encoder checkpoint not found: {resume}")
+        return str(resume)
+
+    audio_resume = _resolve(train_opts.get("audio_config", {}).get("resume"),
+                            "audio")
+    video_resume = _resolve(train_opts.get("video_config", {}).get("resume"),
+                            "video")
     trainer.init_encoders()
-    trainer.load_encoders(
-        audio_resume if audio_resume and os.path.exists(str(audio_resume)) else None,
-        video_resume if video_resume and os.path.exists(str(video_resume)) else None,
-    )
+    trainer.load_encoders(audio_resume, video_resume)
     return trainer
 
 
@@ -119,19 +142,28 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         pcm = np.zeros((b, max_s), np.float32)
         lengths = np.zeros((b,), np.int32)
         sample_lengths = np.zeros((b,), np.int32)
-        h = w = 96
-        clips = np.zeros((b, max_clips, clip_frames, h, w), np.uint8)
+        clips = None  # lazily sized from the first clip's real H, W
         clip_lengths = np.zeros((b, max_clips), np.int32)
         group_sizes = np.zeros((b,), np.int32)
+        # frame geometry from the trainer's feature config, not hard-coded
+        # 25ms/10ms@16k (other rates/windows would corrupt the masks)
+        f_len, f_step = frame_len_step(
+            trainer.feat_cfg.win_len, trainer.feat_cfg.win_shift,
+            trainer.feat_cfg.rate)
         for r, (y, group) in enumerate(zip(pcm_list, clip_groups)):
             pcm[r, : len(y)] = y
-            lengths[r] = num_frames(len(y), 400, 160)
+            lengths[r] = num_frames(len(y), f_len, f_step)
             sample_lengths[r] = len(y)
             for g, cp in enumerate(group):
                 d = load_clip(cp)[:clip_frames]
-                clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
+                if clips is None:
+                    clips = np.zeros(
+                        (b, max_clips, clip_frames) + d.shape[1:], np.uint8)
+                clips[r, g, : len(d)] = d
                 clip_lengths[r, g] = len(d)
             group_sizes[r] = len(group)
+        if clips is None:  # no utterance in the chunk has any video clips
+            clips = np.zeros((b, max_clips, clip_frames, 96, 96), np.uint8)
         fused = trainer.extract_pair_embedding(
             pcm, lengths, clips, clip_lengths, group_sizes,
             use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),

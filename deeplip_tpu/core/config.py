@@ -122,9 +122,16 @@ def load_audio_config(path: str) -> Config:
     Layout mirrors ``conf/audio_config.yaml`` in the reference.
     """
     cfg = load_config(path)
-    for section in ("data", "model", "train", "test"):
-        cfg.setdefault(section, Config())
+    _ensure_sections(cfg)
     return cfg
+
+
+def _ensure_sections(cfg: Config) -> None:
+    """Missing OR empty-None sections (yaml parses a bare 'test:' header as
+    None, which setdefault would keep) become empty Configs."""
+    for section in ("data", "model", "train", "test"):
+        if cfg.get(section) is None:
+            cfg[section] = Config()
 
 
 def load_video_config(path: str) -> Config:
@@ -136,6 +143,5 @@ def load_fusion_config(path: str) -> Config:
     """Load the fusion config: nested YAML with audio/video sub-configs
     (mirrors ``conf/fusion_config.yaml``)."""
     cfg = load_config(path)
-    for section in ("data", "model", "train", "test"):
-        cfg.setdefault(section, Config())
+    _ensure_sections(cfg)
     return cfg

@@ -123,12 +123,6 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, ndim=np.ndim(x))), batch
-    )
-
 
 def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated over the mesh."""

@@ -251,12 +251,20 @@ class AudioTrainer:
         self.state: TrainState | None = None
         self._embed_fns: dict[Any, Any] = {}
 
+        self.loaded_checkpoint = False
         resume = self.train_opts.get("resume")
-        if resume and os.path.exists(str(resume)):
+        if resume in ("", "None", "null", "~"):  # yaml-literal "unset" spellings
+            resume = None
+        if resume:
+            if not os.path.exists(str(resume)):
+                # a mistyped path must fail loudly, not silently evaluate
+                # randomly initialized weights
+                raise FileNotFoundError(f"train.resume checkpoint not found: {resume}")
             if finetune:
                 self.load_finetune(str(resume))
             else:
                 self.load(str(resume))
+            self.loaded_checkpoint = True
 
     # ------------------------------------------------------------------
     # state init
