@@ -511,6 +511,26 @@ class AudioTrainer:
                 step=state.step,
             )
         self.current_epoch = int(tree.get("epoch", 0))
+        if not restore_optimizer and self.current_epoch and self.pipeline:
+            # fast-forward the step count so the step-based MultiStep LR
+            # schedule resumes at the decayed rate (without this a crash
+            # resume at epoch 20 trains epochs 21+ at undecayed init_lr);
+            # scale_by_schedule's count lives in int scalar opt_state leaves
+            resumed = self.current_epoch * self.pipeline.batches_per_epoch()
+            state = self.ensure_state()
+
+            def ff(x):
+                if getattr(x, "ndim", None) == 0 and jnp.issubdtype(
+                        jnp.asarray(x).dtype, jnp.integer):
+                    return jnp.asarray(resumed, jnp.asarray(x).dtype)
+                return x
+
+            self.state = TrainState(
+                params=state.params,
+                batch_stats=state.batch_stats,
+                opt_state=jax.tree.map(ff, state.opt_state),
+                step=resumed,
+            )
         self.exp_dir = exp_dir or self.exp_dir
         self.log_time = os.path.basename(self.exp_dir)
 
@@ -534,12 +554,24 @@ class AudioTrainer:
         )
 
     def load_finetune(self, path_or_tag: str) -> None:
-        """Load weights, keep epoch at 0; the optimizer mask (set from
-        ``train_type: finetune``) freezes the backbone like
-        ``train_audio.py:276-296``."""
+        """Load the BACKBONE weights only, keep epoch at 0; the optimizer
+        mask (set from ``train_type: finetune``) freezes the backbone like
+        ``train_audio.py:276-296``. The criterion/classifier keeps its fresh
+        init — the reference likewise reloads only the model, so finetuning
+        onto a different speaker count works."""
         exp_dir, tag = os.path.split(path_or_tag.rstrip("/"))
         tree = ckpt.load_checkpoint(exp_dir or self.exp_dir, tag)
-        self._restore_weights(tree)
+        state = self.ensure_state()
+        new_params = dict(state.params)
+        new_params["model"] = tree["params"]["model"]
+        self.state = TrainState(
+            params=jax.device_put(new_params,
+                                  param_sharding(self.mesh, new_params)),
+            batch_stats=jax.device_put(tree["batch_stats"],
+                                       replicated_sharding(self.mesh)),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
 
     def model_average(self, avg_num: int = 4) -> None:
         """Average the last N epoch checkpoints into ``net_avg`` and load it

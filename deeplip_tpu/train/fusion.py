@@ -150,6 +150,20 @@ class FusionTrainer:
         )
 
     def load_encoders(self, audio_ckpt: str | None, video_ckpt: str | None) -> None:
+        # the jitted extraction fns close over the encoder variables at
+        # trace time — drop cached traces so new weights take effect
+        self._extract_fns = {}
+        if self.state is not None and int(self.state.step) > 0:
+            import warnings
+
+            warnings.warn(
+                "load_encoders after training steps: the jitted _train_step "
+                "trace still closes over the OLD encoder weights; construct "
+                "a fresh FusionTrainer to train against new encoders"
+            )
+        return self._load_encoders_impl(audio_ckpt, video_ckpt)
+
+    def _load_encoders_impl(self, audio_ckpt: str | None, video_ckpt: str | None) -> None:
         """Load frozen encoder weights from checkpoints saved by the audio /
         video trainers (≙ ``load_finetune``, ``train_fusion.py:191-215``)."""
         if self.audio_vars is None:
@@ -343,16 +357,31 @@ class FusionTrainer:
         for epoch in range(self.current_epoch + 1, epochs + 1):
             self.current_epoch = epoch
             # double-buffered H2D: batch N+1 transfers while step N runs
+            metrics = None
+            last_log = step
             for batch in device_prefetch(pipeline.epoch(epoch), put):
                 state, metrics = self._train_step(
                     state, batch["pcm"], batch["clips"], batch["clip_lengths"],
                     batch["group_sizes"], batch["labels"],
                 )
                 step += 1
-                loss = float(metrics["loss"])
-                guard.check(loss)
-                logger.log(step, examples=batch["n_real"], loss=loss,
-                           acc=float(metrics["acc"]), epoch=epoch)
+                # metric fetches cost a device round-trip over this rig's
+                # tunnel: fetch only at log cadence (like the audio trainer)
+                if step - last_log >= 10:
+                    last_log = step
+                    loss = float(metrics["loss"])
+                    guard.check(loss)
+                    logger.log(step, examples=batch["n_real"], loss=loss,
+                               acc=float(metrics["acc"]), epoch=epoch)
+            if metrics is None:
+                raise RuntimeError(
+                    f"epoch {epoch}: no batches produced — empty AV pairing "
+                    "or misconfigured pipeline?"
+                )
+            loss = float(metrics["loss"])
+            guard.check(loss)
+            logger.log(step, examples=batch["n_real"], loss=loss,
+                       acc=float(metrics["acc"]), epoch=epoch)
             self.state = state
             self.save(epoch)
         logger.close()
@@ -409,6 +438,10 @@ class FusionTrainer:
                     )
                     if self.feat_cfg.normalize:
                         feats = masked_cmvn(feats, feat_lengths)
+                    if self.feat_cfg.delta:
+                        # the encoder was built for 3x-dim delta features
+                        # (mirrors train/audio.py's eval path)
+                        feats = F.add_deltas(feats, order=2)
                     xv, _ = self.audio_model.apply(
                         self.audio_vars, feats, lengths=feat_lengths,
                         method=self.audio_model.extract_embedding,

@@ -104,18 +104,24 @@ class VideoTrainer:
     def _step_math(self, state: TrainState, clips_u8, lengths, labels, key):
         kt, kd = jax.random.split(key)
         x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
+        # mesh-divisibility pad rows carry length 0 (the loop replicates a
+        # real row's pixels so BN statistics see no blank images): mask them
+        # out of the loss and accuracy
+        valid = (lengths > 0).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
 
         def loss_fn(params):
             logits, updates = self.train_model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x,
-                lengths=lengths,
+                lengths=jnp.maximum(lengths, 1),
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": kd},
             )
-            loss = softmax_cross_entropy(logits, labels)
-            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            per_ex = softmax_cross_entropy(logits, labels, reduction="none")
+            loss = jnp.sum(per_ex * valid) / denom
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * valid) / denom
             return loss, (updates["batch_stats"], acc)
 
         (loss, (new_stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -212,11 +218,20 @@ class VideoTrainer:
                 b = len(batch["labels"])
                 pad = -b % self.n_devices
                 if pad:
-                    for k2, fill in (("clips", 0), ("lengths", 1), ("labels", 0)):
-                        arr = batch[k2]
-                        batch[k2] = np.concatenate(
-                            [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)]
-                        )
+                    # replicate row 0's pixels (not zeros: blank images would
+                    # pollute BN batch statistics) and mark pads with
+                    # length 0 so the step masks them out of loss/acc
+                    batch["clips"] = np.concatenate(
+                        [batch["clips"],
+                         np.repeat(batch["clips"][:1], pad, axis=0)]
+                    )
+                    batch["lengths"] = np.concatenate(
+                        [batch["lengths"], np.zeros((pad,), batch["lengths"].dtype)]
+                    )
+                    batch["labels"] = np.concatenate(
+                        [batch["labels"],
+                         np.repeat(batch["labels"][:1], pad, axis=0)]
+                    )
                 if pending and pending[-1]["clips"].shape != batch["clips"].shape:
                     state, metrics, key, step = flush(pending, state, key, step)
                     pending = []
@@ -332,14 +347,21 @@ class VideoTrainer:
     def classify_logits(self, clips_u8, lengths):
         """Eval-mode logits for a uint8 batch (for tests/accuracy eval)."""
         state = self.ensure_state()
+        if not hasattr(self, "_classify_fn"):
 
-        @jax.jit
-        def run(params, batch_stats, clips_u8, lengths):
-            x = V.eval_transform(clips_u8, self.crop_size)[..., None]
-            return self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x,
-                lengths=lengths,
-            )
+            @jax.jit
+            def run(params, batch_stats, clips_u8, lengths):
+                # eval path: pin 'high' matmul precision like extraction
+                # (TPU f32 default is single-pass bf16 — near-tie classes
+                # would flip vs the reference)
+                with jax.default_matmul_precision("high"):
+                    x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+                    return self.model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        x,
+                        lengths=lengths,
+                    )
 
-        return np.asarray(run(state.params, state.batch_stats, clips_u8, lengths))
+            self._classify_fn = run
+        return np.asarray(
+            self._classify_fn(state.params, state.batch_stats, clips_u8, lengths))

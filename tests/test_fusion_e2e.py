@@ -95,8 +95,10 @@ def test_fusion_train_and_extract(av_corpus, tmp_path):
     trainer.model_average(avg_num=2)
     assert os.path.isdir(os.path.join(trainer.exp_dir, "net_avg"))
 
+    # metric fetches are gated to log cadence (r2: a per-step device fetch
+    # serialized the loop); short epochs log at least the epoch-end record
     records = open(os.path.join(trainer.exp_dir, "fusion_metrics.jsonl")).readlines()
-    assert len(records) >= 4
+    assert len(records) >= 2  # one per epoch minimum
 
     # paired test extraction: one utterance per speaker
     from deeplip_tpu.data.audio_io import read_wav

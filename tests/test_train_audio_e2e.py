@@ -294,3 +294,58 @@ def test_group_batches_generator_edges():
     # k=1 passes everything through untouched
     thru = list(_group_batches(iter(src), 1))
     assert all("group" not in o for o in thru) and len(thru) == len(src)
+
+
+def test_finetune_loads_backbone_only_different_n_spk(corpus, tmp_path):
+    """load_finetune must restore the BACKBONE only (reference
+    train_audio.py:276-296): finetuning onto a different speaker count keeps
+    the fresh classifier instead of crashing on shape mismatch."""
+    import jax
+
+    corpus_root, _m, _t = corpus
+    cfg = _config(tmp_path, corpus_root)
+    ta = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "ftA"),
+                      log_time="ft0")
+    ta.ensure_state()
+    ta.current_epoch = 1
+    ta.save(1)
+    from deeplip_tpu.train import checkpoint as ckpt
+    ckpt.wait_for_saves()
+
+    cfg2 = _config(tmp_path, corpus_root)
+    cfg2.train["train_type"] = "finetune"
+    tb = AudioTrainer(cfg2, mesh=make_mesh(), n_spk=7,
+                      exp_root=str(tmp_path / "ftB"))
+    tb.load_finetune(os.path.join(ta.exp_dir, "net_1"))
+    crit = tb.state.params["criterion"]
+    w = jax.tree_util.tree_leaves(crit)[0]
+    assert 7 in w.shape  # fresh classifier for the new speaker count
+    # backbone actually restored
+    a0 = jax.tree_util.tree_leaves(ta.state.params["model"])[0]
+    b0 = jax.tree_util.tree_leaves(tb.state.params["model"])[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+
+def test_resume_fast_forwards_lr_schedule(corpus, tmp_path):
+    """Resuming without optimizer state must fast-forward the step-based
+    MultiStep schedule: a crash resume past a decay milestone would
+    otherwise train at the undecayed init LR."""
+    corpus_root, _m, _t = corpus
+    cfg = _config(tmp_path, corpus_root)
+    cfg.train["lr_decay_step"] = [1]  # decay 10x after epoch 1
+    ta = AudioTrainer(cfg, mesh=make_mesh(), exp_root=str(tmp_path / "rsA"),
+                      log_time="rs0")
+    ta.ensure_state()
+    ta.current_epoch = 2
+    ta.save(2)
+    from deeplip_tpu.train import checkpoint as ckpt
+    ckpt.wait_for_saves()
+
+    cfg2 = _config(tmp_path, corpus_root)
+    cfg2.train["lr_decay_step"] = [1]
+    tb = AudioTrainer(cfg2, mesh=make_mesh(), exp_root=str(tmp_path / "rsB"))
+    tb.load(os.path.join(ta.exp_dir, "net_2"))
+    assert int(tb.state.step) > 0
+    lr_resumed = float(tb.schedule(int(tb.state.step)))
+    lr_init = float(tb.schedule(0))
+    assert lr_resumed < lr_init  # past the milestone -> decayed

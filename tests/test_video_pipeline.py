@@ -119,7 +119,11 @@ def test_video_trainer_e2e(video_corpus, tmp_path):
         for l in open(os.path.join(trainer.exp_dir, "video_metrics.jsonl"))
     ]
     losses = [r["loss"] for r in records]
-    assert losses[-1] < losses[0] + 1.0  # sanity: not diverging
+    # sanity: finite and not diverging. (Loose bound: 2 epochs of a tiny
+    # net on 12 clips; with per-epoch shuffle actually varying the batch
+    # order — fixed in r2 — epoch losses legitimately wander a bit.)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] + 2.5
 
     # per-clip feature extraction in reference npz layout
     out_root = str(tmp_path / "embedding")
@@ -218,3 +222,31 @@ def test_shuffle_changes_epoch_order(video_corpus):
     for ep in orders:
         names = [n for batch in ep for n in batch]
         assert sorted(names) == sorted(c.name for c in clips)
+
+
+def test_pad_rows_masked_out_of_loss(video_corpus, tmp_path):
+    """Mesh-divisibility pad rows (length 0) must not influence the loss:
+    changing a pad row's label cannot move the step's loss/acc."""
+    clips = scan_clip_dir(video_corpus)
+    batch = next(iter(VideoClipBatches(clips, batch_size=3, bucket_t=4,
+                                       shuffle=False, num_workers=1).epoch(0)))
+    trainer = VideoTrainer(
+        TINY_VIDEO_CFG, num_classes=3, mesh=make_mesh(), crop_size=(32, 32),
+        exp_root=str(tmp_path / "expP"), log_time="p0", hidden_dim=12,
+        trunk_layers=(1, 1, 1, 1),
+    )
+    key = jax.random.PRNGKey(0)
+
+    def padded(label):
+        # fresh (deterministic, seed-0) state per call: _train_step donates
+        # its state argument, so a shared one would be invalidated
+        state = trainer._init_state()
+        clips_p = np.concatenate([batch["clips"], batch["clips"][:1]])
+        lengths_p = np.concatenate([batch["lengths"], np.zeros(1, np.int32)])
+        labels_p = np.concatenate([batch["labels"], np.asarray([label])])
+        _, m = trainer._train_step(state, clips_p, lengths_p, labels_p, key)
+        return float(m["loss"]), float(m["acc"])
+
+    la, aa = padded(0)
+    lb, ab = padded(2)
+    assert la == lb and aa == ab
