@@ -142,7 +142,6 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         pcm = np.zeros((b, max_s), np.float32)
         lengths = np.zeros((b,), np.int32)
         sample_lengths = np.zeros((b,), np.int32)
-        clips = None  # lazily sized from the first clip's real H, W
         clip_lengths = np.zeros((b, max_clips), np.int32)
         group_sizes = np.zeros((b,), np.int32)
         # frame geometry from the trainer's feature config, not hard-coded
@@ -150,20 +149,26 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
         f_len, f_step = frame_len_step(
             trainer.feat_cfg.win_len, trainer.feat_cfg.win_shift,
             trainer.feat_cfg.rate)
-        for r, (y, group) in enumerate(zip(pcm_list, clip_groups)):
+        # load the chunk's clips first so the buffer is sized to the max
+        # H/W across the chunk (mixed-geometry corpora stay extractable);
+        # smaller clips sit top-left in the buffer, zero-padded, and the
+        # trainer's clip-length masks keep the padding out of the means
+        loaded: list[list[np.ndarray]] = [
+            [load_clip(cp)[:clip_frames] for cp in group]
+            for group in clip_groups
+        ]
+        dims = [d.shape[1:] for group in loaded for d in group]
+        max_h = max((h for h, _ in dims), default=96)
+        max_w = max((w for _, w in dims), default=96)
+        clips = np.zeros((b, max_clips, clip_frames, max_h, max_w), np.uint8)
+        for r, (y, group) in enumerate(zip(pcm_list, loaded)):
             pcm[r, : len(y)] = y
             lengths[r] = num_frames(len(y), f_len, f_step)
             sample_lengths[r] = len(y)
-            for g, cp in enumerate(group):
-                d = load_clip(cp)[:clip_frames]
-                if clips is None:
-                    clips = np.zeros(
-                        (b, max_clips, clip_frames) + d.shape[1:], np.uint8)
-                clips[r, g, : len(d)] = d
+            for g, d in enumerate(group):
+                clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
                 clip_lengths[r, g] = len(d)
             group_sizes[r] = len(group)
-        if clips is None:  # no utterance in the chunk has any video clips
-            clips = np.zeros((b, max_clips, clip_frames, 96, 96), np.uint8)
         fused = trainer.extract_pair_embedding(
             pcm, lengths, clips, clip_lengths, group_sizes,
             use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),

@@ -342,6 +342,11 @@ long read_npy_entry(const char* path, const char* key, unsigned char* out,
         fseek(f, meta->header_bytes, SEEK_SET);
         if ((long)fread(out, 1, (size_t)meta->payload, f) != meta->payload)
           result = -3;
+      } else if (out != nullptr) {
+        // copy pass with a too-small buffer (file grew between the probe
+        // and copy passes): error out rather than reporting success over
+        // an unwritten buffer
+        result = -4;
       }
     }
   } else {
@@ -360,6 +365,8 @@ long read_npy_entry(const char* path, const char* key, unsigned char* out,
             fseek(f, ze.data_offset + meta->header_bytes, SEEK_SET);
             if ((long)fread(out, 1, (size_t)meta->payload, f) != meta->payload)
               result = -3;
+          } else if (out != nullptr) {
+            result = -4;  // capacity < payload on the copy pass
           }
         }
       } else if (ze.method == 8) {
@@ -374,7 +381,9 @@ long read_npy_entry(const char* path, const char* key, unsigned char* out,
           if (got == probe &&
               parse_npy_header(head.data(), probe, ze.uncomp_size, meta)) {
             result = meta->payload;
-            if (capacity >= meta->payload && out != nullptr) {
+            if (out != nullptr && capacity < meta->payload) {
+              result = -4;  // capacity < payload on the copy pass
+            } else if (capacity >= meta->payload && out != nullptr) {
               std::vector<unsigned char> full((size_t)ze.uncomp_size);
               if (inflate_raw(comp.data(), ze.comp_size, full.data(),
                               ze.uncomp_size, true) == ze.uncomp_size) {

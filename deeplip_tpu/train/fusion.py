@@ -378,10 +378,11 @@ class FusionTrainer:
                     f"epoch {epoch}: no batches produced — empty AV pairing "
                     "or misconfigured pipeline?"
                 )
-            loss = float(metrics["loss"])
-            guard.check(loss)
-            logger.log(step, examples=batch["n_real"], loss=loss,
-                       acc=float(metrics["acc"]), epoch=epoch)
+            if step != last_log:  # avoid a duplicate record when the final
+                loss = float(metrics["loss"])  # step landed on the cadence
+                guard.check(loss)
+                logger.log(step, examples=batch["n_real"], loss=loss,
+                           acc=float(metrics["acc"]), epoch=epoch)
             self.state = state
             self.save(epoch)
         logger.close()

@@ -122,3 +122,41 @@ def test_native_clip_loader_in_dataset(tmp_path):
         np.testing.assert_array_equal(nb["lengths"], pb["lengths"])
         np.testing.assert_array_equal(nb["labels"], pb["labels"])
         assert nb["names"] == pb["names"]
+
+
+@pytest.mark.skipif(not native.npy_available(), reason="native npy reader unavailable")
+def test_native_npy_short_buffer_errors(tmp_path):
+    """A copy pass whose buffer is smaller than the payload (e.g. the file
+    grew between the probe and copy passes) must return an error code, not
+    the payload size over an unwritten buffer (ADVICE r2)."""
+    import ctypes
+
+    arr = np.arange(64, dtype=np.float32)
+    cases = [str(tmp_path / "a.npy")]
+    np.save(cases[0], arr)
+    np.savez(str(tmp_path / "b.npz"), data=arr)  # stored
+    cases.append(str(tmp_path / "b.npz"))
+    np.savez_compressed(str(tmp_path / "c.npz"), data=arr)  # deflate
+    cases.append(str(tmp_path / "c.npz"))
+
+    lib = native._load()
+    for path in cases:
+        shape = np.zeros(8, np.int64)
+        ndim = ctypes.c_int(0)
+        descr = ctypes.create_string_buffer(8)
+        buf = np.zeros(16, np.uint8)  # far smaller than the 256-byte payload
+        rc = lib.dl_read_npy(
+            path.encode(), b"data",
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_long(16),
+            shape.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.byref(ndim), descr,
+        )
+        assert rc < 0, f"{path}: short-capacity copy returned {rc}, want <0"
+        # and the probe pass (out=NULL) still reports the payload size
+        rc = lib.dl_read_npy(
+            path.encode(), b"data", None, ctypes.c_long(0),
+            shape.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.byref(ndim), descr,
+        )
+        assert rc == arr.nbytes
