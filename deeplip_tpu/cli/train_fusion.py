@@ -3,9 +3,16 @@
 Mirrors the reference ``train_fusion.py`` __main__ flow (``:423-470``) with
 a real ``--mode`` flag:
 
-- ``train``   : load frozen encoders, train the fusion head, average last 2
-- ``av_test`` : paired extraction over the configured trial lists (z-norm
-  audio ++ z-norm video concat, the live reference path) → cosine EER
+- ``train``     : load frozen encoders, train the fusion head, average last
+  2, then (reference ``:426-431``) extract + feature-fusion cosine EER over
+  the configured lists
+- ``test`` / ``av_test`` : paired extraction over the configured trial
+  lists (z-norm audio ++ z-norm video concat, the live reference path) →
+  cosine EER; ``av_test`` additionally fits/uses PLDA when
+  ``test.train_plda``/``test.use_plda`` are set (reference ``:433-450``)
+- ``av_fusion`` : score-level late fusion — separate audio/video cosines
+  summed 0.5/0.5 (reference ``:452-470`` →
+  ``utils.eer_cos_*_scorefusion``), plus the same optional PLDA branch
 
 Usage::
 
@@ -114,16 +121,21 @@ def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
     return trainer
 
 
-def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStore:
-    """Paired per-utterance extraction over a trial list's unique utts."""
+def extract_pairs(
+    trainer: FusionTrainer, cfg, names, return_parts: bool = False
+):
+    """Paired per-utterance extraction over a list of utterance names
+    (usually a trial list's unique utts, or a PLDA dev list).
+
+    Returns one fused :class:`EmbeddingStore`, or with ``return_parts`` the
+    ``(audio_store, video_store)`` pair for the score-fusion back-end."""
     data = cfg.data
-    trials = TrialList.load(trial_path)
     video_root = data.get("video_root", ".")
     test_root = data.get("test_root", ".")
     max_clips = int(cfg.train.get("max_clips", 2))
     clip_frames = int(cfg.train.get("clip_frames", 32))
     store = EmbeddingStore()
-    names = trials.unique_utts
+    audio_store, video_store = EmbeddingStore(), EmbeddingStore()
     batch = 16
     for i in range(0, len(names), batch):
         chunk = names[i : i + batch]
@@ -169,20 +181,103 @@ def extract_pairs(trainer: FusionTrainer, cfg, trial_path: str) -> EmbeddingStor
                 clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
                 clip_lengths[r, g] = len(d)
             group_sizes[r] = len(group)
-        fused = trainer.extract_pair_embedding(
-            pcm, lengths, clips, clip_lengths, group_sizes,
-            use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),
-            sample_lengths=sample_lengths,
-        )
-        for r, name in enumerate(chunk):
-            store[name] = fused[r]
+        if return_parts:
+            xv, em = trainer.extract_pair_embedding(
+                pcm, lengths, clips, clip_lengths, group_sizes,
+                sample_lengths=sample_lengths, return_parts=True,
+            )
+            for r, name in enumerate(chunk):
+                audio_store[name] = xv[r]
+                video_store[name] = em[r]
+        else:
+            fused = trainer.extract_pair_embedding(
+                pcm, lengths, clips, clip_lengths, group_sizes,
+                use_fusion_head=bool(
+                    cfg.get("test", {}).get("use_fusion_head", False)),
+                sample_lengths=sample_lengths,
+            )
+            for r, name in enumerate(chunk):
+                store[name] = fused[r]
+    if return_parts:
+        return audio_store, video_store
     return store
+
+
+def _fit_plda(trainer: FusionTrainer, cfg):
+    """Fit PLDA on fused dev embeddings (reference fusion av_test's
+    ``trainer.train_plda()`` branch, ``train_fusion.py:434-436``)."""
+    from deeplip_tpu.cli.common import labels_from_speaker_prefix
+    from deeplip_tpu.eval.plda import PLDA
+
+    data, test = cfg.data, cfg.get("test", {})
+    if not (test.get("train_plda") and data.get("plda_dev_list")):
+        return None
+    dev_names = [l.strip() for l in open(data["plda_dev_list"]) if l.strip()]
+    dev_cfg = cfg
+    if data.get("dev_root"):
+        # dev utterances live under dev_root, not test_root
+        import copy
+
+        dev_cfg = copy.deepcopy(cfg)
+        dev_cfg.data["test_root"] = data["dev_root"]
+    dev_store = extract_pairs(trainer, dev_cfg, dev_names)
+    x = np.stack([dev_store[n] for n in dev_names])
+    labels = np.asarray(labels_from_speaker_prefix(dev_names))
+    model = PLDA().fit(
+        x, labels,
+        n_principal_components=int(test.get("plda_components", 20)))
+    model.save(os.path.join(trainer.exp_dir, "plda.npz"))
+    return model
+
+
+def run_eval_lists(trainer: FusionTrainer, cfg, mode: str) -> None:
+    """Shared eval dispatch for test / av_test / av_fusion (reference
+    ``train_fusion.py:433-470``)."""
+    from deeplip_tpu.eval.plda import plda_eer
+    from deeplip_tpu.eval.scoring import score_fusion_eer
+
+    test = cfg.get("test", {})
+    plda_model = _fit_plda(trainer, cfg) if mode in ("av_test", "av_fusion") else None
+    for key, trial_key in (("eval_lomgrid", "trial_lomgrid"), ("eval_grid", "trial_grid")):
+        if not test.get(key):
+            continue
+        trial_path = cfg.data[trial_key]
+        trials = TrialList.load(trial_path)
+        if mode == "av_fusion":
+            # score-level fusion: separate audio/video cosines, 0.5/0.5
+            # (reference utils.eer_cos_*_scorefusion, utils.py:331-382)
+            audio_store, video_store = extract_pairs(
+                trainer, cfg, trials.unique_utts, return_parts=True)
+            audio_store.save_npy_tree(
+                os.path.join(trainer.exp_dir, f"test_xv_{trial_key}"))
+            video_store.save_npy_tree(
+                os.path.join(trainer.exp_dir, f"test_em_video_{trial_key}"))
+            if test.get("use_cos", True):
+                eer, _ = score_fusion_eer(
+                    trials, audio_store, video_store,
+                    audio_weight=float(test.get("audio_weight", 0.5)),
+                    video_weight=float(test.get("video_weight", 0.5)))
+                print(f"[{trial_key}] score-fusion EER: {eer * 100:.6f}%")
+            if test.get("use_plda") and plda_model is not None:
+                fused = extract_pairs(trainer, cfg, trials.unique_utts)
+                eer, _ = plda_eer(trials, fused, plda_model)
+                print(f"[{trial_key}] PLDA EER: {eer * 100:.6f}%")
+            continue
+        store = extract_pairs(trainer, cfg, trials.unique_utts)
+        store.save_npy_tree(os.path.join(trainer.exp_dir, f"test_em_{trial_key}"))
+        if test.get("use_cos", True):
+            eer, _ = cosine_eer(trials, store)
+            print(f"[{trial_key}] fusion EER: {eer * 100:.6f}%")
+        if mode == "av_test" and test.get("use_plda") and plda_model is not None:
+            eer, _ = plda_eer(trials, store, plda_model)
+            print(f"[{trial_key}] PLDA EER: {eer * 100:.6f}%")
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="conf/fusion_config.yaml")
-    p.add_argument("--mode", default="train", choices=["train", "av_test"])
+    p.add_argument("--mode", default="train",
+                   choices=["train", "test", "av_test", "av_fusion"])
     p.add_argument("--exp-root", default="exp")
     p.add_argument("--log-time", default=None)
     args = p.parse_args(argv)
@@ -205,17 +300,11 @@ def main(argv=None) -> None:
         )
         trainer.train(pipeline, epochs=int(cfg.train.get("epoch", 15)))
         trainer.model_average(avg_num=2)
+        # reference train mode evaluates after training (:426-431)
+        run_eval_lists(trainer, cfg, "test")
         return
 
-    test = cfg.get("test", {})
-    for key, trial_key in (("eval_lomgrid", "trial_lomgrid"), ("eval_grid", "trial_grid")):
-        if not test.get(key):
-            continue
-        trial_path = cfg.data[trial_key]
-        store = extract_pairs(trainer, cfg, trial_path)
-        store.save_npy_tree(os.path.join(trainer.exp_dir, f"test_em_{trial_key}"))
-        eer, _ = cosine_eer(TrialList.load(trial_path), store)
-        print(f"[{trial_key}] fusion EER: {eer * 100:.6f}%")
+    run_eval_lists(trainer, cfg, args.mode)
 
 
 if __name__ == "__main__":

@@ -418,15 +418,20 @@ class FusionTrainer:
     def extract_pair_embedding(
         self, pcm, feat_lengths, clips_u8, clip_lengths, group_sizes,
         use_fusion_head: bool = False, sample_lengths=None,
-    ) -> np.ndarray:
+        return_parts: bool = False,
+    ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
         """Per-utterance fused test embedding.
 
         Default: z-norm(audio xv) ++ z-norm(video group mean) concat — the
         reference's live path (``train_fusion.py:352-358``). With
         ``use_fusion_head`` the LowFER head output is returned instead.
+        ``return_parts`` instead returns the raw ``(audio_xv, video_em)``
+        pair (for the score-fusion back-end, which needs separate cosines
+        per modality — reference ``utils.py:331-382``).
         """
         state = self.ensure_state()
-        if use_fusion_head not in self._extract_fns:
+        key = (use_fusion_head, return_parts)
+        if key not in self._extract_fns:
 
             @jax.jit
             def run(params, pcm, feat_lengths, sample_lengths, clips_u8,
@@ -448,16 +453,19 @@ class FusionTrainer:
                         method=self.audio_model.extract_embedding,
                     )
                     em = self._video_group_embed(clips_u8, clip_lengths, group_sizes)
+                    if return_parts:
+                        return xv, em
                     if use_fusion_head:
                         return self._head_apply(self._head_vars(params), xv, em)
                     return jnp.concatenate([_znorm(xv), _znorm(em)], axis=-1)
 
-            self._extract_fns[use_fusion_head] = run
+            self._extract_fns[key] = run
         if sample_lengths is None:
             sample_lengths = np.full((len(pcm),), pcm.shape[-1], np.int32)
-        return np.asarray(
-            self._extract_fns[use_fusion_head](
-                state.params, pcm, feat_lengths, sample_lengths, clips_u8,
-                clip_lengths, group_sizes
-            )
+        out = self._extract_fns[key](
+            state.params, pcm, feat_lengths, sample_lengths, clips_u8,
+            clip_lengths, group_sizes
         )
+        if return_parts:
+            return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(out)
