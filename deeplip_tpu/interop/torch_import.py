@@ -23,16 +23,23 @@ from typing import Any, Mapping
 import numpy as np
 
 
-def _to_numpy(v) -> np.ndarray:
+def _to_numpy(v, float_dtype=np.float32) -> np.ndarray:
     arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
     # params are always float32 in this framework (CLAUDE.md): fp16/bf16
-    # checkpoints would silently fail the 1e-4 embedding-parity bar
-    if np.issubdtype(arr.dtype, np.floating) and arr.dtype != np.float32:
-        arr = arr.astype(np.float32)
-    return arr
+    # checkpoints would silently fail the 1e-4 embedding-parity bar.
+    # float_dtype=np.float64 keeps doubles (train-parity harness only).
+    if np.issubdtype(arr.dtype, np.floating) and arr.dtype != float_dtype:
+        arr = arr.astype(float_dtype)
+    # ALWAYS copy: torch .numpy() shares the tensor's memory, and on the CPU
+    # backend jax.device_put can alias a numpy buffer zero-copy — a torch
+    # optimizer stepping the live module afterwards would silently mutate
+    # the imported jax params (caught by the train-parity harness)
+    return np.array(arr, copy=True)
 
 
-def _clean_state_dict(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]:
+def _clean_state_dict(
+    state_dict: Mapping[str, Any], float_dtype=np.float32
+) -> dict[str, np.ndarray]:
     out = {}
     for k, v in state_dict.items():
         # strip the DataParallel prefix only — replace() would clobber a
@@ -41,15 +48,15 @@ def _clean_state_dict(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]:
             k = k[len("module."):]
         if k.startswith("fc3") or k.endswith("num_batches_tracked"):
             continue
-        out[k] = _to_numpy(v)
+        out[k] = _to_numpy(v, float_dtype)
     return out
 
 
 def import_speaker_embnet_state_dict(
-    state_dict: Mapping[str, Any], n_blocks: int
+    state_dict: Mapping[str, Any], n_blocks: int, float_dtype=np.float32
 ) -> tuple[dict, dict]:
     """Returns ``(params, batch_stats)`` for ``models.tdnn.SpeakerEmbNet``."""
-    sd = _clean_state_dict(state_dict)
+    sd = _clean_state_dict(state_dict, float_dtype)
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
 
@@ -104,9 +111,10 @@ def import_speaker_embnet_state_dict(
     return params, stats
 
 
-def import_lmcl_state_dict(state_dict: Mapping[str, Any]) -> dict:
+def import_lmcl_state_dict(state_dict: Mapping[str, Any],
+                           float_dtype=np.float32) -> dict:
     """LMCL criterion weights (``loss.py:40``) -> our LMCL params."""
-    sd = _clean_state_dict(state_dict)
+    sd = _clean_state_dict(state_dict, float_dtype)
     return {"weights": sd["weights"]}
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from deeplip_tpu.models.resnet import BasicBlock
 from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 
 class AudioResNet(nn.Module):
@@ -52,7 +53,7 @@ class AudioResNet(nn.Module):
     def setup(self):
         self.stem = nn.Conv(self.stage_widths[0], (3, 3), padding=[(1, 1), (1, 1)],
                             use_bias=False, dtype=self.dtype, name="stem")
-        self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        self.stem_bn = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                     name="stem_bn")
         blocks = []
         for stage, (w, n) in enumerate(zip(self.stage_widths, self.stage_blocks)):
@@ -64,9 +65,9 @@ class AudioResNet(nn.Module):
                 )
         self.blocks = blocks
         self.fc1 = nn.Dense(self.embedding_dim)
-        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn1 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
         self.fc2 = nn.Dense(self.embedding_dim)
-        self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn2 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
 
     def _trunk(self, x: jnp.ndarray, train: bool, lengths) -> jnp.ndarray:
         b, t, d = x.shape

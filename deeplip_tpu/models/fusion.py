@@ -25,6 +25,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 
 class LowFER(nn.Module):
@@ -75,7 +76,7 @@ class LinearFusion(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = nn.Dense(self.hidden_size, name="fc1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(h)
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(h)
         h = nn.leaky_relu(h, negative_slope=0.2)
         out = nn.Dense(self.hidden_size, name="fc2")(h)
         return h if self.extract_feats else out

@@ -36,6 +36,7 @@ from deeplip_tpu.models.resnet import PReLU, ResNetTrunk
 from deeplip_tpu.models.shufflenetv2 import ShuffleNetV2Trunk
 from deeplip_tpu.models.tcn import MultibranchTemporalConvNet, TemporalConvNet
 from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 
 class Lipreading(nn.Module):
@@ -88,7 +89,7 @@ class Lipreading(nn.Module):
             dtype=self.dtype,
             name="frontend_conv",
         )
-        self.frontend_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        self.frontend_bn = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                         name="frontend_bn")
         self.frontend_act = PReLU(name="frontend_prelu") if self.relu_type == "prelu" else nn.relu
         if self.backbone_type == "resnet":

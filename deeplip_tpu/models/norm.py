@@ -1,0 +1,82 @@
+"""Batch normalization with exact torch running-stat semantics.
+
+``flax.linen.BatchNorm`` and ``torch.nn.BatchNorm1d/2d/3d`` agree on the
+train-mode normalization (biased batch variance) but differ on the running
+update: torch accumulates the **unbiased** batch variance
+(``var * n / (n - 1)``, Bessel-corrected over the ``n`` reduced elements)
+into ``running_var``, flax the biased one. The difference is ~1/n — invisible
+at production batch sizes but a real train-then-eval parity gap, and the one
+BN semantic the round-2 forward parity (imported running stats) never
+exercised.
+
+:class:`TorchBatchNorm` reproduces torch exactly:
+
+- train: ``y = (x - μ_b) * rsqrt(σ²_b + eps) * scale + bias`` with the
+  biased batch variance over all non-feature axes (two-pass formula, like
+  torch), computed over the *global* batch under a sharded jit (sync-BN);
+- running update (torch ``momentum = 1 - self.momentum``):
+  ``mean ← m·mean + (1-m)·μ_b`` and ``var ← m·var + (1-m)·σ²_b·n/(n-1)``;
+- eval: normalize with the running stats.
+
+Parameter/collection naming matches flax (``scale``/``bias`` params,
+``mean``/``var`` batch_stats) so checkpoints and the torch importers are
+layout-compatible. Stats are always computed/stored in float32; ``dtype``
+only sets the activation compute dtype (repo convention).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TorchBatchNorm(nn.Module):
+    """Drop-in ``nn.BatchNorm`` replacement (feature axis = -1) with torch's
+    unbiased running-variance update (``torch.nn.modules.batchnorm``)."""
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9  # decay on the OLD stats (torch momentum = 1 - this)
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool | None = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_shape = (x.shape[-1],)
+        reduction_axes = tuple(range(x.ndim - 1))
+        n = 1
+        for ax in reduction_axes:
+            n *= x.shape[ax]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), feature_shape
+        )
+        scale = self.param("scale", nn.initializers.ones, feature_shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, feature_shape, jnp.float32)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # stats in >= f32 (f64 inputs keep f64 — the train-parity
+            # harness proves optimizer equivalence in double precision)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            mean = jnp.mean(xf, axis=reduction_axes)
+            # two-pass (torch-style) biased variance: numerically stabler
+            # than E[x²]−E[x]² when |mean| >> std
+            var = jnp.mean(jnp.square(xf - mean), axis=reduction_axes)
+            if not self.is_initializing():
+                m = self.momentum
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * bessel
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(dtype) - mean.astype(dtype)) * inv.astype(dtype)
+        return y * scale.astype(dtype) + bias.astype(dtype)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 
 class PReLU(nn.Module):
@@ -55,13 +56,13 @@ class BasicBlock(nn.Module):
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
         out = make_act("relu1")(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="conv2"
         )(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
         if needs_down:
             if self.avg_pool_downsample:
                 # torch AvgPool2d(ceil_mode=True) (reference resnet.py:21):
@@ -82,7 +83,7 @@ class BasicBlock(nn.Module):
                     self.planes, (1, 1), strides=(self.stride, self.stride),
                     use_bias=False, dtype=self.dtype, name="down_conv",
                 )(residual)
-            residual = nn.BatchNorm(
+            residual = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name="down_bn"
             )(residual)

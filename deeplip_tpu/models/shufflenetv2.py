@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 _STAGE_CHANNELS = {
     0.5: (48, 96, 192, 1024),
@@ -41,7 +42,7 @@ def _conv_bn(x, features, kernel, stride, groups, act, train, name_prefix):
         padding=[(pad, pad), (pad, pad)], feature_group_count=groups,
         use_bias=False, name=f"{name_prefix}_conv",
     )(x)
-    x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+    x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                      name=f"{name_prefix}_bn")(x)
     return nn.relu(x) if act else x
 

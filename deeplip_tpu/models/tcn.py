@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from deeplip_tpu.models.resnet import PReLU
+from deeplip_tpu.models.norm import TorchBatchNorm
 
 
 def _act(relu_type: str, name: str):
@@ -55,16 +56,16 @@ class ConvBatchRelu(nn.Module):
                 padding=[(pad, pad)], feature_group_count=x.shape[-1],
                 use_bias=False, name="dw_conv",
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="dw_bn")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="dw_bn")(x)
             x = _act(self.relu_type, "dw_act")(x)
             x = nn.Conv(self.features, (1,), use_bias=False, name="pw_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pw_bn")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pw_bn")(x)
             return _act(self.relu_type, "pw_act")(x)
         x = nn.Conv(
             self.features, (self.kernel_size,), kernel_dilation=(self.dilation,),
             padding=[(pad, pad)], name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
         return _act(self.relu_type, "act")(x)
 
 

@@ -38,6 +38,7 @@ from typing import Any, Mapping, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from deeplip_tpu.models.norm import TorchBatchNorm
 from deeplip_tpu.models.pooling import (
     AttentiveStatPooling,
     AveragePooling,
@@ -80,7 +81,7 @@ class TDNNBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        bn = nn.BatchNorm(
+        bn = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn"
         )
@@ -155,9 +156,9 @@ class SpeakerEmbNet(nn.Module):
         ]
         self.pool = _pooling_from_name(self.pooling, self.attention_hidden_size)
         self.fc1 = nn.Dense(self.embedding_dim)
-        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn1 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
         self.fc2 = nn.Dense(self.embedding_dim)
-        self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn2 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
 
     def _act(self, x):
         return nn.leaky_relu(x, negative_slope=0.2)
@@ -169,9 +170,9 @@ class SpeakerEmbNet(nn.Module):
         x = x.astype(self.dtype)
         for blk in self.blocks:
             x = blk(x, train=train)
-        # statistics pooling and the FC head stay float32 (std of bf16
-        # activations loses too much precision)
-        x = x.astype(jnp.float32)
+        # statistics pooling and the FC head stay >= float32 (std of bf16
+        # activations loses too much precision; f64 runs stay f64)
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         pooled_lengths = None if lengths is None else self.valid_lengths(lengths)
         x = self.pool(x, lengths=pooled_lengths)
         x_a = self.fc1(x)
