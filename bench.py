@@ -5,11 +5,15 @@ utterances of 3 s each through the flagship E-TDNN system (MFCC-24 on
 device → x-vector extraction → L2-norm), then 20,000 trial cosines scored
 as one batched gather+dot: exactly the deeplip_tpu production path.
 
-The synthetic PCM is generated on device (the DSP/model work is identical
-to real speech); production overlaps wav IO with compute via
-ThreadedPrefetcher, and this rig's host↔device relay has multi-second
-first-transfer stalls that would otherwise dominate the measurement. Only
-the final 20k scores leave the device.
+The synthetic PCM corpus is generated on device and pre-staged as a PCM16
+stack OUTSIDE the timed region (r3: the r2 bench ran the threefry RNG
+inside the timed sweep, charging ~17% of it to work the production path
+never performs); the timed sweep starts from int16 PCM exactly as a wav
+decode delivers it, including the int16→f32 rescale. Production overlaps
+wav IO with compute via ThreadedPrefetcher, and this rig's host↔device
+relay has multi-second first-transfer stalls that would otherwise dominate
+the measurement — the hostio profile below measures the IO-inclusive path.
+Only the final 20k scores leave the device.
 
 ``BENCH_PROFILE=hostio`` measures the production path INCLUDING host I/O:
 a real PCM16 wav corpus is synthesized to tmpfs, decoded through
@@ -79,7 +83,19 @@ def main():
     from deeplip_tpu.train.audio import masked_cmvn
 
     feat_cfg = F.FeatureConfig.from_config(AUDIO_DATA_OPTS)
-    raw_cfg = dataclasses.replace(feat_cfg, normalize=False)
+    # Per-op precision plan (benchmarks/precision_budget.py, r3,
+    # docs/precision_budget_r03.md): in the trained-weight regime the 1e-4
+    # parity bar pins EVERY matmul class to >= 'high' (3-pass bf16) — DSP
+    # at 1 pass costs 7.4e-4, the FC head 3.0e-4, the convs jointly
+    # 1.6e-4, and 2-pass compensated splits recover only ~1.5x. 'high'
+    # everywhere measures 2.56e-5 vs 'highest' and holds full parity
+    # (scripts/parity_check.py --full --precision tuned). The r2 sweep ran
+    # the DSP at 'highest' (6 passes) for no measured accuracy gain;
+    # BENCH_PRECISION=r2 restores that for comparison.
+    _plan = os.environ.get("BENCH_PRECISION", "high")
+    raw_cfg = dataclasses.replace(
+        feat_cfg, normalize=False,
+        precision="highest" if _plan == "r2" else _plan)
     model = SpeakerEmbNet.from_config(ETDNN_MODEL_OPTS)
 
     n_samples = int(UTT_SECONDS * RATE)
@@ -101,10 +117,17 @@ def main():
             return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
 
     @jax.jit
-    def sweep(variables, keys, pairs, eps):
+    def sweep(variables, pcm_i16, pairs, eps):
         # the whole extraction sweep + scoring in ONE device program:
         # lax.map sequences the batches on device, removing per-batch host
         # dispatch latency (material through this rig's stdio relay).
+        #
+        # ``pcm_i16`` is the full utterance stack pre-staged on device as
+        # PCM16 — exactly what a wav decode delivers (the hostio profile
+        # measures the decode+transfer cost; r2 instead synthesized PCM
+        # with a per-batch threefry RNG *inside* the timed sweep, which
+        # charged ~17% of the sweep to work the production path never does).
+        # The int16→f32 rescale stays in the timed path: production pays it.
         #
         # ``eps`` is (1,) f32 carried from the previous sweep's scores: a
         # STRUCTURAL dependency that chains repeated sweeps so none can be
@@ -113,18 +136,29 @@ def main():
         # bench must chain K sweeps and force a fetch). Its contribution
         # (score * 1e-38, subnormal) vanishes in the f32 addition, so every
         # sweep computes bit-identical scores.
-        def embed_batch(key):
-            pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
-            pcm = pcm + eps[0] * 1e-38
+        def embed_batch(pcm):
+            pcm = pcm.astype(jnp.float32) / 32768.0 + eps[0] * 1e-38
             return embed_pcm(variables, pcm)
 
-        embs = jax.lax.map(embed_batch, keys)
+        embs = jax.lax.map(embed_batch, pcm_i16)
         e = embs.reshape(-1, embs.shape[-1])[:N_UNIQUE_UTTS]
         a = jnp.take(e, pairs[:, 0], axis=0)
         b = jnp.take(e, pairs[:, 1], axis=0)
         return jnp.sum(a * b, axis=-1)
 
     n_batches = -(-N_UNIQUE_UTTS // BATCH)
+
+    @jax.jit
+    def synth_pcm(keys):
+        # device-side corpus synthesis (NOT timed): same statistics the r2
+        # bench used, materialized once as the PCM16 stack a decoded wav
+        # corpus would occupy (~331 MB at the lomgrid profile)
+        def one(key):
+            pcm = 0.1 * jax.random.normal(key, (BATCH, n_samples), jnp.float32)
+            return jnp.clip(pcm * 32768.0, -32768, 32767).astype(jnp.int16)
+
+        return jax.lax.map(one, keys)
+
     keys = jax.random.split(jax.random.PRNGKey(1), n_batches)
     rng = np.random.default_rng(0)
     pairs = jnp.asarray(rng.integers(0, N_UNIQUE_UTTS, (N_TRIALS, 2)), jnp.int32)
@@ -139,8 +173,9 @@ def main():
         elapsed = N_TRIALS / trials_per_sec
     else:
         # warm-up: compile and absorb the relay's first-transfer stall
+        pcm_i16 = synth_pcm(keys)
         zeps = jnp.zeros((1,), jnp.float32)
-        scores = sweep(variables, keys, pairs, zeps)
+        scores = sweep(variables, pcm_i16, pairs, zeps)
         _ = np.asarray(scores[:8])
 
         # timed: K chained sweeps, fetch-forced (np.asarray of the final
@@ -148,7 +183,7 @@ def main():
         k_sweeps = 2 if os.environ.get("BENCH_SMOKE") else 8
         t0 = time.perf_counter()
         for _ in range(k_sweeps):
-            scores = sweep(variables, keys, pairs, scores[:1])
+            scores = sweep(variables, pcm_i16, pairs, scores[:1])
         scores_host = np.asarray(scores)
         elapsed = (time.perf_counter() - t0) / k_sweeps
         assert scores_host.shape == (N_TRIALS,) and np.all(np.isfinite(scores_host))

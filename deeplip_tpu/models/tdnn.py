@@ -63,24 +63,37 @@ class TDNNBlock(nn.Module):
 
     ``dtype`` is the compute dtype (params stay float32): bf16 halves the
     activation HBM traffic for training; eval paths keep float32.
+    ``precision`` sets the conv's MXU precision — 'default'/'high'/
+    'highest', 'wsplit2' (2-pass weight-compensated,
+    ``ops.precision.WeightSplitConv``), or None to inherit the ambient
+    ``jax.default_matmul_precision``. Parameter layout is identical for
+    every mode.
     """
 
     features: int
     context: tuple[int, ...]
     bn_first: bool = True
     dtype: jnp.dtype = jnp.float32
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kernel_size, dilation = context_to_kernel(self.context)
-        x = nn.Conv(
-            self.features,
-            kernel_size=(kernel_size,),
-            kernel_dilation=(dilation,),
-            padding="VALID",
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.precision in ("wsplit2", "asplit2"):
+            from deeplip_tpu.ops.precision import SplitConv
+
+            x = SplitConv(self.features, kernel_size, dilation,
+                          mode=self.precision, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(kernel_size,),
+                kernel_dilation=(dilation,),
+                padding="VALID",
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv",
+            )(x)
         bn = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn"
@@ -121,6 +134,12 @@ class SpeakerEmbNet(nn.Module):
     attention_hidden_size: int = 64
     bn_first: bool = True
     dtype: jnp.dtype = jnp.float32
+    # MXU precision plan: one mode for every conv, or a per-layer tuple
+    # (len == n blocks); fc_precision covers the two Dense heads. None
+    # inherits the ambient jax.default_matmul_precision. Measured per-op
+    # error budgets: benchmarks/precision_budget.py.
+    conv_precision: str | tuple[str | None, ...] | None = None
+    fc_precision: str | None = None
 
     @classmethod
     def from_config(cls, model_opts: Mapping[str, Any]) -> "SpeakerEmbNet":
@@ -150,14 +169,22 @@ class SpeakerEmbNet(nn.Module):
         return jnp.maximum(lengths - (self.receptive_field - 1), 1)
 
     def setup(self):
+        cp = self.conv_precision
+        if cp is None or isinstance(cp, str):
+            cp = (cp,) * len(self.contexts)
+        if len(cp) != len(self.contexts):
+            raise ValueError(
+                f"conv_precision has {len(cp)} entries for "
+                f"{len(self.contexts)} blocks")
         self.blocks = [
-            TDNNBlock(f, ctx, self.bn_first, dtype=self.dtype, name=f"tdnn_{i}")
+            TDNNBlock(f, ctx, self.bn_first, dtype=self.dtype,
+                      precision=cp[i], name=f"tdnn_{i}")
             for i, (f, ctx) in enumerate(zip(self.hidden_dims, self.contexts))
         ]
         self.pool = _pooling_from_name(self.pooling, self.attention_hidden_size)
-        self.fc1 = nn.Dense(self.embedding_dim)
+        self.fc1 = nn.Dense(self.embedding_dim, precision=self.fc_precision)
         self.bn1 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
-        self.fc2 = nn.Dense(self.embedding_dim)
+        self.fc2 = nn.Dense(self.embedding_dim, precision=self.fc_precision)
         self.bn2 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
 
     def _act(self, x):

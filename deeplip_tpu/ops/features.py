@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deeplip_tpu.ops import framing, spectral
+from deeplip_tpu.ops.precision import comp_matmul
 
 # python_speech_features guards log(0)/div-by-0 with numpy double eps.
 _PSF_EPS = float(np.finfo(np.float64).eps)
@@ -58,8 +59,12 @@ class FeatureConfig:
     ceplifter: int = 22
     low_freq: float = 0.0
     high_freq: float | None = None
-    # matmul precision for the DFT/mel/DCT ops: 'highest' holds the 1e-4
-    # parity bar on TPU; 'default' (bf16 passes) is ~3x cheaper for training
+    # matmul precision for the DFT/mel/DCT ops: 'highest' (6 MXU passes)
+    # and 'high' (3) both hold the 1e-4 parity bar on TPU (trained-weight
+    # budget: 2.47e-5 vs 2.56e-5 — use 'high'); 'wsplit2'/'asplit2'
+    # (2-pass compensated, ops.precision) measure 5e-4 in that regime —
+    # NOT parity-grade; 'default' (1 bf16 pass, 7.4e-4) is the training
+    # setting. Measurements: docs/precision_budget_r03.md.
     precision: str = "highest"
 
     @classmethod
@@ -125,8 +130,8 @@ def _power_spectrum(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     sin_m = jnp.asarray(sin_m, dtype=frames.dtype)
     # cfg.precision='highest' (default): TPU f32 matmuls otherwise run as
     # bf16 MXU passes, which costs ~3 digits and breaks the 1e-4 parity bar.
-    re = jnp.matmul(frames, cos_m, precision=cfg.precision)
-    im = jnp.matmul(frames, sin_m, precision=cfg.precision)
+    re = comp_matmul(frames, cos_m, cfg.precision)
+    im = comp_matmul(frames, sin_m, cfg.precision)
     return (re * re + im * im) / cfg.n_fft
 
 
@@ -138,7 +143,7 @@ def _mel_energies(signal: jnp.ndarray, cfg: FeatureConfig):
         spectral.mel_filterbank(cfg.num_bin, cfg.n_fft, cfg.rate, cfg.low_freq, cfg.high_freq),
         dtype=pspec.dtype,
     )
-    feat = jnp.matmul(pspec, fb, precision=cfg.precision)
+    feat = comp_matmul(pspec, fb, cfg.precision)
     feat = jnp.where(feat == 0, _PSF_EPS, feat)
     return feat, energy
 
@@ -159,7 +164,7 @@ def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     feat, energy = _mel_energies(signal, cfg)
     logm = jnp.log(feat)
     dct = jnp.asarray(spectral.dct_matrix(cfg.num_cep, cfg.num_bin), dtype=logm.dtype)
-    cep = jnp.matmul(logm, dct, precision=cfg.precision)
+    cep = comp_matmul(logm, dct, cfg.precision)
     lift = jnp.asarray(spectral.cepstral_lifter(cfg.num_cep, cfg.ceplifter), dtype=cep.dtype)
     cep = cep * lift
     if cfg.energy:
@@ -193,8 +198,8 @@ def stft_features(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     full[off : off + win_length] = window
     frames = frames * jnp.asarray(full, dtype=frames.dtype)
     cos_m, sin_m = spectral.rdft_matrices(cfg.n_fft, cfg.n_fft)
-    re = jnp.matmul(frames, jnp.asarray(cos_m, dtype=frames.dtype), precision=cfg.precision)
-    im = jnp.matmul(frames, jnp.asarray(sin_m, dtype=frames.dtype), precision=cfg.precision)
+    re = comp_matmul(frames, jnp.asarray(cos_m, dtype=frames.dtype), cfg.precision)
+    im = comp_matmul(frames, jnp.asarray(sin_m, dtype=frames.dtype), cfg.precision)
     mag = jnp.sqrt(re * re + im * im)
     return jnp.log1p(mag)
 

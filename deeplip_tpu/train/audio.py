@@ -588,24 +588,42 @@ class AudioTrainer:
         # TPU f32 matmuls default to single-pass bf16 (~8e-4 embedding error,
         # violating the 1e-4 parity bar); 'high' (bf16_3x) is ~3e-6 at ~1.4x
         # cost. Training keeps the fast default; extraction is precise.
+        #
+        # 'tuned' applies the measured per-op budget
+        # (benchmarks/precision_budget.py, docs/precision_budget_r03.md):
+        # in the trained-weight regime EVERY matmul class needs >= 'high'
+        # to hold the 1e-4 bar (DSP at bf16 costs 7.4e-4, the FC head
+        # 3.0e-4, the convs jointly 1.6e-4, and 2-pass compensated splits
+        # recover only ~1.5x — the cheaper r3 candidate measured 8.9e-4,
+        # docs/parity_full_r03_rejected_wsplit2.json, and was rejected). 'tuned' is
+        # therefore 'high' EVERYWHERE, including the DSP basis matmuls the
+        # default FeatureConfig runs at 'highest' (6-pass) for no measured
+        # accuracy gain (2.56e-5 vs 2.47e-5). Gated end-to-end by
+        # scripts/parity_check.py --full --precision tuned.
         precision = self.test_opts.get("matmul_precision", "high")
+        model, eval_feat_cfg, ctx = self.model, self.eval_feat_cfg, precision
+        if precision == "tuned":
+            import dataclasses as _dc
+
+            ctx = "high"
+            eval_feat_cfg = _dc.replace(eval_feat_cfg, precision="high")
 
         @jax.jit
         def embed(params, batch_stats, pcm, feat_lengths, sample_lengths):
-            with jax.default_matmul_precision(precision):
+            with jax.default_matmul_precision(ctx):
                 feats = F.extract_features(
-                    pcm, self.eval_feat_cfg, backend=self.feature_backend,
+                    pcm, eval_feat_cfg, backend=self.feature_backend,
                     sample_lengths=sample_lengths,
                 )
                 if self.feat_cfg.normalize:
                     feats = masked_cmvn(feats, feat_lengths)
                 if self.feat_cfg.delta:
                     feats = F.add_deltas(feats, order=2)
-                xv, x_a = self.model.apply(
+                xv, x_a = model.apply(
                     {"params": params["model"], "batch_stats": batch_stats["model"]},
                     feats,
                     lengths=feat_lengths,
-                    method=self.model.extract_embedding,
+                    method=model.extract_embedding,
                 )
                 if self.loss_name == "CrossEntropy":
                     # CE embeds with the fc1 pre-activation (train_audio.py:316-317)

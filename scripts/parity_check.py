@@ -373,6 +373,11 @@ def main() -> None:
                    help="torch pre-training steps before the comparison")
     p.add_argument("--report", default=None, help="also write the JSON here")
     p.add_argument("--device", default=None, choices=[None, "cpu"])
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest", "tuned"],
+                   help="extraction matmul-precision plan for the deeplip "
+                        "side ('tuned' = measured per-op budget, "
+                        "benchmarks/precision_budget.py)")
     args = p.parse_args()
 
     if args.full:
@@ -501,7 +506,7 @@ def main() -> None:
                   "type": "sgd", "bs": 8, "lr_decay": 0.1,
                   "lr_decay_step": [10], "epoch": 1,
                   "sgd": {"init_lr": 0.01, "weight_decay": 0, "momentum": 0.9}},
-        "test": {"matmul_precision": "highest"},
+        "test": {"matmul_precision": args.precision},
     })
     trainer = AudioTrainer(cfg, n_spk=8)
     params, stats = import_speaker_embnet_state_dict(

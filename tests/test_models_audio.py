@@ -270,3 +270,59 @@ def test_asoftmax_and_aam_accept_reduction_none():
         loss, logits = crit.apply(variables, emb, labels, reduction="none")
         assert loss.shape == (6,)
         assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_precision_plan_param_compat():
+    """Every precision plan (incl. wsplit2's WeightSplitConv) must keep the
+    exact param/batch-stats tree of the default model — checkpoints and the
+    torch importer are plan-independent — and agree numerically on CPU
+    (where every matmul precision is exact f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplip_tpu.models.tdnn import SpeakerEmbNet
+
+    kw = dict(contexts=((-2, -1, 0, 1, 2), (0,)), hidden_dims=(16, 32),
+              embedding_dim=8)
+    base = SpeakerEmbNet(**kw)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 30, 24)),
+                    jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(v, x)
+
+    structure = jax.tree_util.tree_structure(v)
+    for plan, tol in [(dict(conv_precision="default", fc_precision="high"),
+                       1e-5),
+                      (dict(conv_precision="wsplit2", fc_precision="highest"),
+                       0.05),
+                      (dict(conv_precision=("asplit2", "default")), 0.05)]:
+        m = SpeakerEmbNet(**kw, **plan)
+        v2 = m.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v2) == structure
+        # same params -> same function. On CPU plain precisions compute
+        # exact f32; the split modes genuinely round operands to bf16
+        # (they emulate the MXU), so they only get a coarse bound here —
+        # their accuracy is measured on the TPU (precision_budget.py)
+        out = m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=tol)
+
+
+def test_comp_matmul_wsplit2_close():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplip_tpu.ops.precision import comp_matmul, split_bf16
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+    m = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    hi, lo = split_bf16(m)
+    # hi is exactly bf16-representable and hi+lo reconstructs m exactly
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(hi.astype(jnp.bfloat16).astype(jnp.float32)))
+    np.testing.assert_allclose(np.asarray(hi + lo), np.asarray(m), rtol=0)
+    out = comp_matmul(x, m, "wsplit2")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x @ m), atol=1e-5)
