@@ -30,13 +30,49 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from deeplip_tpu.models.resnet import PReLU, ResNetTrunk
 from deeplip_tpu.models.shufflenetv2 import ShuffleNetV2Trunk
 from deeplip_tpu.models.tcn import MultibranchTemporalConvNet, TemporalConvNet
 from deeplip_tpu.ops.masked import length_mask
+from deeplip_tpu.ops.video import frontend_conv3d_s2d
 from deeplip_tpu.models.norm import TorchBatchNorm
+
+
+class FrontendConv3D(nn.Module):
+    """The frontend Conv3D — ``features``×(5,7,7), stride (1,2,2), pad
+    (2,3,3), no bias (reference ``models/video_models/model.py:81-85``) —
+    with a space-to-depth fast path.
+
+    Declares the SAME single ``kernel`` param (DHWIO, lecun-normal) as the
+    ``nn.Conv`` it replaces, so checkpoints, torch import, and init are
+    unchanged. When the input's H and W are even (always, for the 88×88 /
+    96×96 mouth-ROI crops), the conv is computed via
+    :func:`deeplip_tpu.ops.video.frontend_conv3d_s2d` — identical
+    arithmetic up to f32 summation order, ~3× faster on TPU because the
+    direct 1-input-channel stride-2 form runs the MXU at ~10% utilisation
+    (r3 attribution, ``benchmarks/video_attribution.py``). Odd H/W falls
+    back to the direct lowering.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (5, 7, 7, 1, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        if x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            return frontend_conv3d_s2d(kernel, x)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 2, 2),
+            padding=[(2, 2), (3, 3), (3, 3)], dimension_numbers=dn)
 
 
 class Lipreading(nn.Module):
@@ -80,15 +116,8 @@ class Lipreading(nn.Module):
 
     def setup(self):
         frontend_nout = 64 if self.backbone_type == "resnet" else 24
-        self.frontend_conv = nn.Conv(
-            frontend_nout,
-            kernel_size=(5, 7, 7),
-            strides=(1, 2, 2),
-            padding=[(2, 2), (3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            name="frontend_conv",
-        )
+        self.frontend_conv = FrontendConv3D(
+            frontend_nout, dtype=self.dtype, name="frontend_conv")
         self.frontend_bn = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                         name="frontend_bn")
         self.frontend_act = PReLU(name="frontend_prelu") if self.relu_type == "prelu" else nn.relu

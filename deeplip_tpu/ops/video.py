@@ -108,3 +108,58 @@ def normalize_utterance(signal: jnp.ndarray) -> jnp.ndarray:
     std = jnp.std(signal, axis=-1, keepdims=True)
     std = jnp.where(std == 0, 1.0, std)
     return (signal - jnp.mean(signal, axis=-1, keepdims=True)) / std
+
+
+def frontend_conv3d_s2d(kernel: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """The Lipreading frontend Conv3D — 64×(5,7,7), stride (1,2,2), pad
+    (2,3,3), C_in=1 (reference ``models/video_models/model.py:81-85``) —
+    computed via spatial space-to-depth.
+
+    Lowered directly, this conv runs at ~10% MFU on TPU (r3 attribution,
+    ``benchmarks/video_attribution.py``: 36 of the 124 ms bs-128 train
+    step): the MXU contraction dim is a 1-channel window and the stride-2
+    output decimates systolic-array reuse. Folding the 2×2 spatial phases
+    into channels — ``(B,T,H,W,1) → (B,T,H/2,W/2,4)`` — makes it a
+    stride-1 conv with kernel (5,4,4) over 4 channels (the classic TPU
+    conv0 space-to-depth trick).
+
+    Derivation per spatial axis (pad 3, stride 2, kernel 7):
+    ``out[x] = Σ_dx w[dx]·in[2x−3+dx]``; writing ``dx−3 = 2q+r``
+    (``q∈[−2,1]``, ``r∈{0,1}``) gives ``out[x] = Σ_{q,r} w2[q,r]·
+    in2[x+q, r]`` with ``in2[x',r] = in[2x'+r]`` — a kernel-4 stride-1
+    conv with padding (2,1) over the phase channels. 15 of the 64
+    ``(q_y,r_y,q_x,r_x)`` slots are structural zeros (1.31× FLOP overhead,
+    traded for MXU alignment; measured A/B: ``benchmarks/conv3d_probe.py``).
+
+    The (5,7,7,1,64) parameter is re-scattered at trace time, so
+    checkpoints, the torch importer, and eval paths are unchanged. Exact
+    same arithmetic as the direct conv up to f32 summation order.
+
+    Args: ``kernel`` (5,7,7,1,64) DHWIO; ``x`` (B,T,H,W,1) NDHWC with H, W
+    even. Returns (B,T,H/2,W/2,64) in ``x.dtype`` (MXU accumulation is f32
+    internally either way; a f32 output would double the HBM write of a
+    ~1 GB activation and break the conv transpose's dtype matching).
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    assert (kd, kh, kw, cin) == (5, 7, 7, 1), kernel.shape
+    b, t, h, w, _ = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+
+    # space-to-depth: (B,T,H,W,1) -> (B,T,H/2,W/2,4), phase c = ry*2+rx
+    x2 = x.reshape(b, t, h // 2, 2, w // 2, 2)
+    x2 = x2.transpose(0, 1, 2, 4, 3, 5).reshape(b, t, h // 2, w // 2, 4)
+
+    # kernel re-scatter: K2[dt, q_y+2, q_x+2, ry*2+rx, o] = K[dt, dy, dx, 0, o]
+    k2 = jnp.zeros((kd, 4, 4, 4, cout), kernel.dtype)
+    for dy in range(kh):
+        qy, ry = divmod(dy - 3, 2)
+        for dx in range(kw):
+            qx, rx = divmod(dx - 3, 2)
+            k2 = k2.at[:, qy + 2, qx + 2, ry * 2 + rx, :].set(
+                kernel[:, dy, dx, 0, :])
+
+    dn = jax.lax.conv_dimension_numbers(
+        x2.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        x2, k2.astype(x2.dtype), window_strides=(1, 1, 1),
+        padding=[(2, 2), (2, 1), (2, 1)], dimension_numbers=dn)

@@ -144,3 +144,40 @@ def test_avg_pool_downsample_odd_dims_ceil_mode():
     out = trunk.apply(variables, x, train=False)
     assert out.shape == (2, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frontend_conv3d_s2d_matches_direct():
+    """The space-to-depth frontend conv (ops/video.py:frontend_conv3d_s2d)
+    must reproduce the direct Conv3D 64x(5,7,7)/stride(1,2,2)/pad(2,3,3)
+    lowering exactly up to f32 summation order, for both even-H/W geometries
+    (88x88 mouth ROI and 96x96 raw clips)."""
+    from deeplip_tpu.ops.video import frontend_conv3d_s2d
+
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(rng.standard_normal((5, 7, 7, 1, 64)) * 0.05,
+                         jnp.float32)
+    for hw in (88, 96):
+        x = jnp.asarray(rng.standard_normal((2, 7, hw, hw, 1)), jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        want = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 2, 2),
+            padding=[(2, 2), (3, 3), (3, 3)], dimension_numbers=dn)
+        got = frontend_conv3d_s2d(kernel, x)
+        assert got.shape == want.shape == (2, 7, hw // 2, hw // 2, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+
+
+def test_lipreading_frontend_odd_hw_fallback():
+    """Odd spatial dims can't space-to-depth by 2; the FrontendConv3D module
+    must fall back to the direct lowering and still match shapes."""
+    from deeplip_tpu.models.lipreading import FrontendConv3D
+
+    mod = FrontendConv3D(64)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 5, 87, 87, 1)),
+                    jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+    assert out.shape == (1, 5, 44, 44, 64)
+    assert np.isfinite(np.asarray(out)).all()

@@ -184,15 +184,18 @@ def test_grouped_stepping_matches_single(video_corpus, tmp_path):
 
     # identical batches + keys -> identical per-step losses (loss[1] sees
     # step 0's full param update, so any RNG/batch divergence would move it
-    # macroscopically) and identical BN running stats (pure activation
-    # reductions). Params themselves cannot be compared tightly under Adam:
+    # macroscopically) and near-identical BN running stats (activation
+    # reductions; the s2d frontend conv fuses differently inside the scan
+    # body vs the single step, so summation order — and with it ~1e-5 f32
+    # noise on the stats — is not bit-reproducible across the two compiles).
+    # Params themselves cannot be compared tightly under Adam:
     # for near-zero-gradient coords, f32 reassociation noise flips the sign
     # of g and with it the whole ~lr-scale update — so only a coarse bound.
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
                     jax.tree_util.tree_leaves(state_b.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
