@@ -51,10 +51,11 @@ class FrontendConv3D(nn.Module):
     unchanged. When the input's H and W are even (always, for the 88×88 /
     96×96 mouth-ROI crops), the conv is computed via
     :func:`deeplip_tpu.ops.video.frontend_conv3d_s2d` — identical
-    arithmetic up to f32 summation order, ~3× faster on TPU because the
-    direct 1-input-channel stride-2 form runs the MXU at ~10% utilisation
-    (r3 attribution, ``benchmarks/video_attribution.py``). Odd H/W falls
-    back to the direct lowering.
+    arithmetic up to f32 summation order, measured 2.4× faster fwd+bwd on
+    TPU (19%→46% MFU, ``benchmarks/conv3d_probe.py``) because the direct
+    1-input-channel stride-2 form starves the MXU (r3 attribution,
+    ``benchmarks/video_attribution.py``). Odd H/W falls back to the
+    direct lowering.
     """
 
     features: int
@@ -148,6 +149,9 @@ class Lipreading(nn.Module):
         x = self.frontend_conv(x.astype(self.dtype))
         x = self.frontend_bn(x, use_running_average=not train)
         x = self.frontend_act(x)
+        # XLA's reduce_window/SelectAndScatter is the best lowering here: a
+        # hand-written equality-routing VJP measured 1.75x SLOWER
+        # (benchmarks/video_attribution.py maxpool vs maxpool_vjp, r3)
         x = nn.max_pool(
             x, window_shape=(1, 3, 3), strides=(1, 2, 2),
             padding=[(0, 0), (1, 1), (1, 1)],
