@@ -61,9 +61,17 @@ def make_batches(manifest, rng, numpy_mfcc, read_wav, steps):
     for s, u in manifest.all_utterances():
         pcm_cache.setdefault(s, []).append(read_wav(u.path)[0])
     n_spk = len(pcm_cache)
+    # bucketed per-batch frame counts (11-value grid): torch is shape-
+    # agnostic, but the deeplip side jit-compiles per shape — uniform ints
+    # over [200,400] mean up to 201 XLA CPU compilations, which OOMs this
+    # 1-core host (and the real sampler buckets crop lengths anyway,
+    # PARITY.md "bucket grid" deviation). Both sides see IDENTICAL batches,
+    # so bucketing cannot bias the comparison.
+    frame_grid = np.linspace(FRAME_RANGE[0], FRAME_RANGE[1], 11).round()
+    frame_grid = frame_grid.astype(int)
     batches = []
     for step in range(steps):
-        n_frames = int(rng.integers(FRAME_RANGE[0], FRAME_RANGE[1] + 1))
+        n_frames = int(frame_grid[rng.integers(len(frame_grid))])
         need = (n_frames - 1) * 160 + 400
         feats, labels = [], []
         for i in range(BS):
@@ -145,6 +153,14 @@ def main():
     tnet = build_torch_net(torch, ARCH["context"], dims, ARCH["embedding_dim"])
     tcrit = build_torch_lmcl(torch, ARCH["embedding_dim"], n_spk, SCALE)
     tcrit.margin = MARGIN
+    # snapshot the INIT so deeplip starts from the identical weights
+    # (imported below via interop/torch_import) — any trajectory divergence
+    # is then purely arithmetic (f32 noise under LMCL's chaotic scale-30
+    # softmax), not init luck
+    import copy
+
+    init_net_sd = copy.deepcopy(tnet.state_dict())
+    init_crit_sd = copy.deepcopy(tcrit.state_dict())
     opt = torch.optim.SGD(
         [{"params": tnet.parameters()}, {"params": tcrit.parameters()}],
         lr=LR, momentum=MOMENTUM, weight_decay=WD)
@@ -214,8 +230,24 @@ def main():
     trainer.schedule = multistep_schedule(LR, MILESTONES, 0.1, STEPS_PER_EPOCH)
     trainer.tx = build_optimizer("sgd", trainer.schedule, momentum=MOMENTUM,
                                  weight_decay=WD)
-    state = trainer._init_state()
-    state = state.replace(opt_state=trainer.tx.init(state.params))
+    # identical init: import the torch snapshot (same path the .pth weight
+    # bridge uses, interop/torch_import.py)
+    from deeplip_tpu.core.mesh import replicated_sharding
+    from deeplip_tpu.interop.torch_import import (
+        import_lmcl_state_dict, import_speaker_embnet_state_dict)
+    from deeplip_tpu.train.state import TrainState
+
+    i_params, i_stats = import_speaker_embnet_state_dict(
+        init_net_sd, n_blocks=len(ARCH["context"]))
+    new_params = {"model": i_params,
+                  "criterion": import_lmcl_state_dict(init_crit_sd)}
+    state = TrainState(
+        params=jax.device_put(new_params, replicated_sharding(trainer.mesh)),
+        batch_stats=jax.device_put({"model": i_stats},
+                                   replicated_sharding(trainer.mesh)),
+        opt_state=trainer.tx.init(new_params),
+        step=0,
+    )
 
     eval_set = EvalUtteranceSet(
         [EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
@@ -266,8 +298,9 @@ def main():
         "stack, ±6% per-speaker perturbation, strong noise —",
         "`data/synthetic.py:make_hard_audio_corpus`), one shared",
         "speaker-balanced crop-and-concat batch stream (reference collate",
-        "semantics, python_speech_features-equivalent f64 MFCC+CMVN), the",
-        "reference LMCL/SGD/MultiStepLR recipe in both frameworks.",
+        "semantics, python_speech_features-equivalent f64 MFCC+CMVN), ONE",
+        "shared init (the torch init imported via `interop/torch_import`),",
+        "the reference LMCL/SGD/MultiStepLR recipe in both frameworks.",
         f"TDNN widths scaled to this 1-core host: {ARCH['hidden_dim']},",
         f"embedding {ARCH['embedding_dim']}; bs {BS}; {epochs} epochs x "
         f"{STEPS_PER_EPOCH} steps; LR 0.01 x0.1 at epochs {MILESTONES}.",
@@ -287,7 +320,8 @@ def main():
         f"**{ours_curve['eer'][-1]*100:.2f}%** (abs gap "
         f"{final_eer_gap*100:.2f} pp).",
         "",
-        "Interpretation: identical batches + identical recipe; residual",
+        "Interpretation: identical init + identical batches + identical",
+        "recipe; residual",
         "divergence is f32 noise amplified by LMCL's scale-30 softmax",
         "(chaotic sensitivity quantified in docs/train_parity_r03.json —",
         "per-step semantics agree to 2.8e-12 at f64). The curves must track",
