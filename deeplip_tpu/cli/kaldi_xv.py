@@ -40,14 +40,21 @@ from deeplip_tpu.interop.kaldi import read_scp, write_ark_scp
 AUGMENT_TYPES = ("reverb", "music", "babble", "noise")
 
 
-def kaldi_name_to_path(utt_id: str) -> str:
-    """Vox-style Kaldi utt id -> relative path (``train_audio.py:447-449``
-    and the augmented variant at ``:461-466``)."""
+def kaldi_name_to_path(utt_id: str, augment: bool = False) -> str:
+    """Vox-style Kaldi utt id -> relative path.
+
+    ``augment=False`` is the unconditional ``spk/rec.../file`` split of
+    ``transform_from_kaldi_xv`` (``train_audio.py:446-447``);
+    ``augment=True`` adds ``transform_to_kaldi_xv``'s augmented-id branch
+    (``train_audio.py:464-467``): ids ending in an augment suffix map to
+    ``spk/rec.../aug/file``. The reference applies the branch ONLY in the
+    to-kaldi direction — from-kaldi ids come from a clean test scp and
+    never carry suffixes."""
     parts = utt_id.split("-")
     if len(parts) < 3:
         # degenerate ids (no recording segment) keep spk/file shape
         return "/".join(parts)
-    if parts[-1] in AUGMENT_TYPES:
+    if augment and parts[-1] in AUGMENT_TYPES:
         # spk-rec...-file-aug  ->  spk/rec.../aug/file
         return "/".join(
             [parts[0], "-".join(parts[1:-2]), parts[-1], parts[-2]])
@@ -84,7 +91,7 @@ def to_kaldi(scp_path: str, xv_root: str, out_prefix: str) -> int:
             if not line:
                 continue
             ori_utt = line.split(" ")[0]
-            rel = kaldi_name_to_path(ori_utt)
+            rel = kaldi_name_to_path(ori_utt, augment=True)
             npy = os.path.join(xv_root, rel + ".npy")
             if not os.path.exists(npy) and rel.endswith(".wav"):
                 npy = os.path.join(xv_root, rel[: -len(".wav")] + ".npy")

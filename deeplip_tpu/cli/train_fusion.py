@@ -38,6 +38,13 @@ from deeplip_tpu.ops.framing import frame_len_step, num_frames
 from deeplip_tpu.train.fusion import FusionTrainer
 
 
+def _znorm_np(x: np.ndarray) -> np.ndarray:
+    """Host-side mirror of ``train/fusion.py:_znorm`` (per-vector z-norm,
+    reference ``train_fusion.py:233-238``; population std, f32)."""
+    x = np.asarray(x, np.float32)
+    return (x - x.mean()) / x.std()
+
+
 def build_video_map(manifest: SpeakerManifest, video_root: str) -> dict:
     """utterance wav path -> matching clip npz group (glob by utterance stem
     under the speaker's video dir, ≙ fusion datasets.py:143-150)."""
@@ -161,18 +168,30 @@ def extract_pairs(
         f_len, f_step = frame_len_step(
             trainer.feat_cfg.win_len, trainer.feat_cfg.win_shift,
             trainer.feat_cfg.rate)
-        # load the chunk's clips first so the buffer is sized to the max
-        # H/W across the chunk (mixed-geometry corpora stay extractable);
-        # smaller clips sit top-left in the buffer, zero-padded, and the
-        # trainer's clip-length masks keep the padding out of the means
+        # center-crop every clip to the trainer's eval geometry BEFORE
+        # buffering (reference preprocess.py:74-92 arithmetic, identical to
+        # ops/video.py:center_crop) so mixed-geometry corpora share one
+        # buffer exactly and the device-side center crop is the identity.
+        # Zero-padding a smaller clip into a bigger buffer instead would
+        # shift its crop off-center and average padding into the trunk's
+        # spatial pooling (the clip-length masks are temporal only).
+        th, tw = trainer.crop_size
+
+        def crop_to_eval(d: np.ndarray, path: str) -> np.ndarray:
+            h, w = d.shape[1], d.shape[2]
+            if h < th or w < tw:
+                raise ValueError(
+                    f"clip {path!r} is {h}x{w}, smaller than the eval crop "
+                    f"{th}x{tw} (train.crop_size) — cannot extract")
+            dh = int(round((h - th)) / 2.0)
+            dw = int(round((w - tw)) / 2.0)
+            return d[:, dh : dh + th, dw : dw + tw]
+
         loaded: list[list[np.ndarray]] = [
-            [load_clip(cp)[:clip_frames] for cp in group]
+            [crop_to_eval(load_clip(cp)[:clip_frames], cp) for cp in group]
             for group in clip_groups
         ]
-        dims = [d.shape[1:] for group in loaded for d in group]
-        max_h = max((h for h, _ in dims), default=96)
-        max_w = max((w for _, w in dims), default=96)
-        clips = np.zeros((b, max_clips, clip_frames, max_h, max_w), np.uint8)
+        clips = np.zeros((b, max_clips, clip_frames, th, tw), np.uint8)
         for r, (y, group) in enumerate(zip(pcm_list, loaded)):
             pcm[r, : len(y)] = y
             lengths[r] = num_frames(len(y), f_len, f_step)
@@ -259,7 +278,19 @@ def run_eval_lists(trainer: FusionTrainer, cfg, mode: str) -> None:
                     video_weight=float(test.get("video_weight", 0.5)))
                 print(f"[{trial_key}] score-fusion EER: {eer * 100:.6f}%")
             if test.get("use_plda") and plda_model is not None:
-                fused = extract_pairs(trainer, cfg, trials.unique_utts)
+                if cfg.get("test", {}).get("use_fusion_head", False):
+                    # the head's fused embedding isn't derivable from the
+                    # raw parts — one more device pass
+                    fused = extract_pairs(trainer, cfg, trials.unique_utts)
+                else:
+                    # default z-norm+concat fusion (train/fusion.py:460) is
+                    # exactly derivable from the parts already extracted —
+                    # skip the second full DSP+encoder sweep
+                    fused = EmbeddingStore()
+                    for n in trials.unique_utts:
+                        fused[n] = np.concatenate(
+                            [_znorm_np(audio_store[n]),
+                             _znorm_np(video_store[n])])
                 eer, _ = plda_eer(trials, fused, plda_model)
                 print(f"[{trial_key}] PLDA EER: {eer * 100:.6f}%")
             continue

@@ -28,12 +28,14 @@ def _to_numpy(v, float_dtype=np.float32) -> np.ndarray:
     # params are always float32 in this framework (CLAUDE.md): fp16/bf16
     # checkpoints would silently fail the 1e-4 embedding-parity bar.
     # float_dtype=np.float64 keeps doubles (train-parity harness only).
+    # The result must NEVER share memory with the torch tensor: .numpy()
+    # aliases it, and on the CPU backend jax.device_put can alias a numpy
+    # buffer zero-copy — a torch optimizer stepping the live module
+    # afterwards would silently mutate the imported jax params (caught by
+    # the train-parity harness). astype() already returns a fresh buffer,
+    # so only the same-dtype path needs an explicit copy.
     if np.issubdtype(arr.dtype, np.floating) and arr.dtype != float_dtype:
-        arr = arr.astype(float_dtype)
-    # ALWAYS copy: torch .numpy() shares the tensor's memory, and on the CPU
-    # backend jax.device_put can alias a numpy buffer zero-copy — a torch
-    # optimizer stepping the live module afterwards would silently mutate
-    # the imported jax params (caught by the train-parity harness)
+        return arr.astype(float_dtype)
     return np.array(arr, copy=True)
 
 

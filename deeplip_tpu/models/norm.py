@@ -12,8 +12,15 @@ exercised.
 :class:`TorchBatchNorm` reproduces torch exactly:
 
 - train: ``y = (x - μ_b) * rsqrt(σ²_b + eps) * scale + bias`` with the
-  biased batch variance over all non-feature axes (two-pass formula, like
-  torch), computed over the *global* batch under a sharded jit (sync-BN);
+  biased batch variance over all non-feature axes, computed over the
+  *global* batch under a sharded jit (sync-BN). The variance uses the
+  single-pass ``E[x²]−E[x]²`` form on ≥4-D activations (one fused HBM
+  read — the video trunk's bandwidth-bound tensors, all fed by bias-free
+  convs with |mean|≲2σ where the f32 cancellation error sits below bf16
+  output rounding) and torch's two-pass form elsewhere (3-D/2-D tensors
+  are matmul-path-cheap, and their producers — TDNN/TCN convs, Dense —
+  carry biases, so |mean|/σ is unbounded and two-pass is the safe
+  formula);
 - running update (torch ``momentum = 1 - self.momentum``):
   ``mean ← m·mean + (1-m)·μ_b`` and ``var ← m·var + (1-m)·σ²_b·n/(n-1)``;
 - eval: normalize with the running stats.
@@ -66,20 +73,27 @@ class TorchBatchNorm(nn.Module):
             # stats in >= f32 (f64 inputs keep f64 — the train-parity
             # harness proves optimizer equivalence in double precision)
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-            # single-pass biased variance E[x²]−E[x]²: both reductions fuse
-            # into ONE read of the activation (vs two for the torch-style
-            # two-pass form) — BN is HBM-bound on the video trunk's big
-            # tensors, and this is a measured 30% saving on BN+PReLU stacks
-            # (benchmarks/bn_probe.py r3: 32.0→22.4 ms fwd+bwd at
-            # (3712,44,44,64)). Cancellation error in the subtraction is
-            # ~(mean/σ)²·2⁻²³·σ² — for post-conv activations (|mean|≲2σ;
-            # convs here are bias-free) that is below bf16 output rounding
-            # (probe: bit-identical outputs at mean=1.5σ), and the f64
-            # train-parity path keeps 52-bit headroom.
             mean = jnp.mean(xf, axis=reduction_axes)
-            var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=reduction_axes)
-                - jnp.square(mean), 0.0)
+            if x.ndim >= 4:
+                # single-pass biased variance E[x²]−E[x]²: both reductions
+                # fuse into ONE read of the activation (vs two for the
+                # torch-style two-pass form) — BN is HBM-bound on the video
+                # trunk's big tensors; measured 30% saving on BN+PReLU
+                # stacks (benchmarks/bn_probe.py r3: 32.0→22.4 ms fwd+bwd
+                # at (3712,44,44,64)). Cancellation error is
+                # ~(mean/σ)²·2⁻²³·σ²; every ≥4-D BN site is fed by a
+                # bias-free conv (|mean|≲2σ), where that sits below bf16
+                # output rounding (probe: bit-identical at mean=1.5σ).
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axis=reduction_axes)
+                    - jnp.square(mean), 0.0)
+            else:
+                # two-pass (torch-style): 3-D/2-D BN sites are fed by
+                # biased layers (TDNN/TCN convs, Dense), where |mean|/σ is
+                # unbounded and the single-pass subtraction could cancel;
+                # these tensors are small next to their matmuls, so the
+                # extra read is noise.
+                var = jnp.mean(jnp.square(xf - mean), axis=reduction_axes)
             if not self.is_initializing():
                 m = self.momentum
                 bessel = n / (n - 1) if n > 1 else 1.0

@@ -294,6 +294,35 @@ def test_cli_fusion_test_and_av_fusion_modes(tmp_path, capsys):
     assert os.path.isdir(
         str(tmp_path / "exp" / "fx1" / "test_em_video_trial_grid"))
 
+    # av_fusion + PLDA back-end: the fused store is derived from the parts
+    # already extracted (z-norm+concat, no second device sweep). Dev names
+    # carry the sNN_ label prefix (labels_from_speaker_prefix) and get
+    # matching top-level video clips.
+    import shutil
+
+    dev_root = str(tmp_path / "dev")
+    os.makedirs(dev_root, exist_ok=True)
+    dev_names = []
+    for s, spk in enumerate(manifest.speakers):
+        for u in spk:
+            name = f"s{s:02d}_{os.path.basename(u.path)}"
+            shutil.copy(u.path, os.path.join(dev_root, name))
+            np.savez(os.path.join(vroot, os.path.splitext(name)[0] + ".npz"),
+                     data=rng.integers(0, 255, (4, 96, 96)).astype(np.uint8))
+            dev_names.append(name)
+    dev_list = str(tmp_path / "plda_dev.txt")
+    open(dev_list, "w").write("\n".join(dev_names) + "\n")
+    cfg["data"]["plda_dev_list"] = dev_list
+    cfg["data"]["dev_root"] = dev_root
+    cfg["test"].update({"use_plda": True, "train_plda": True,
+                        "plda_components": 2})
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    main(["--config", cfg_path, "--mode", "av_fusion",
+          "--exp-root", str(tmp_path / "exp"), "--log-time", "fx2"])
+    out = capsys.readouterr().out
+    assert "score-fusion EER" in out
+    assert "PLDA EER" in out
+
 
 def test_cli_kaldi_xv_roundtrip(tmp_path, capsys):
     """kaldi-xv transform commands (VERDICT r2 missing #2): Kaldi scp ->
@@ -302,34 +331,132 @@ def test_cli_kaldi_xv_roundtrip(tmp_path, capsys):
     from deeplip_tpu.cli.kaldi_xv import kaldi_name_to_path, main
     from deeplip_tpu.interop.kaldi import read_scp, write_ark_scp
 
-    # name remap parity with the reference string surgery
+    # name remap parity with the reference string surgery. from-kaldi is
+    # the UNCONDITIONAL split (train_audio.py:446-447) — an augment-like
+    # trailing token stays part of the filename; only to-kaldi applies the
+    # augment quirk (train_audio.py:464-467).
     assert kaldi_name_to_path("id10270-x6uYqmx31kE-00001.wav") == \
         "id10270/x6uYqmx31kE/00001.wav"
     assert kaldi_name_to_path("id10270-x6uYqmx31kE-00001-reverb") == \
+        "id10270/x6uYqmx31kE-00001/reverb"
+    assert kaldi_name_to_path("id10270-x6uYqmx31kE-00001-reverb",
+                              augment=True) == \
         "id10270/x6uYqmx31kE/reverb/00001"
-    assert kaldi_name_to_path("id1-a-b-c-00002-music") == \
+    assert kaldi_name_to_path("id1-a-b-c-00002-music", augment=True) == \
         "id1/a-b-c/music/00002"
 
     rng = np.random.default_rng(3)
-    ids = ["id10270-x6uYqmx31kE-00001.wav", "id10270-x6uYqmx31kE-00002.wav",
-           "id10271-zz9-00001-babble"]
-    vecs = {u: rng.standard_normal(16).astype(np.float32) for u in ids}
+    clean_ids = ["id10270-x6uYqmx31kE-00001.wav",
+                 "id10270-x6uYqmx31kE-00002.wav"]
+    aug_id = "id10271-zz9-00001-babble"
+    vecs = {u: rng.standard_normal(16).astype(np.float32)
+            for u in clean_ids + [aug_id]}
     src_prefix = str(tmp_path / "src")
-    write_ark_scp(vecs, src_prefix + ".ark", src_prefix + ".scp")
+    write_ark_scp({u: vecs[u] for u in clean_ids},
+                  src_prefix + ".ark", src_prefix + ".scp")
 
     out_dir = str(tmp_path / "npy_tree")
     main(["from-kaldi", "--scp", src_prefix + ".scp", "--out-dir", out_dir])
-    assert "wrote 3 npy vectors" in capsys.readouterr().out
+    assert "wrote 2 npy vectors" in capsys.readouterr().out
     a = np.load(os.path.join(out_dir, "id10270/x6uYqmx31kE/00001.npy"))
-    np.testing.assert_array_equal(a, vecs[ids[0]])
-    b = np.load(os.path.join(out_dir, "id10271/zz9/babble/00001.npy"))
-    np.testing.assert_array_equal(b, vecs[ids[2]])
+    np.testing.assert_array_equal(a, vecs[clean_ids[0]])
+
+    # the augmented utterance's npy lives at the trainer's extraction
+    # layout spk/rec/aug/file (what to-kaldi's augment branch resolves)
+    aug_dir = os.path.join(out_dir, "id10271/zz9/babble")
+    os.makedirs(aug_dir)
+    np.save(os.path.join(aug_dir, "00001.npy"), vecs[aug_id])
+    back_scp = str(tmp_path / "ori.scp")
+    with open(back_scp, "w") as f:
+        for u in clean_ids + [aug_id]:
+            f.write(f"{u} ignored\n")
 
     out_prefix = str(tmp_path / "back")
-    main(["to-kaldi", "--scp", src_prefix + ".scp", "--xv-root", out_dir,
+    main(["to-kaldi", "--scp", back_scp, "--xv-root", out_dir,
           "--out-prefix", out_prefix])
     assert "wrote 3 vectors" in capsys.readouterr().out
     back = dict(read_scp(out_prefix + "_xvector.scp"))
-    assert list(back) == ids  # original scp ordering preserved
-    for u in ids:
+    assert list(back) == clean_ids + [aug_id]  # scp ordering preserved
+    for u in clean_ids + [aug_id]:
         np.testing.assert_array_equal(back[u], vecs[u])
+
+def test_cli_fusion_mixed_geometry_clips(tmp_path):
+    """extract_pairs must center-crop each clip BEFORE buffering
+    (cli/train_fusion.py): embedding a clip is invariant to growing its
+    canvas with border pixels, and mixed H/W within one chunk must not
+    shift smaller clips off-center or average zero padding into the trunk
+    (r3 review finding on the r2 mixed-geometry fix)."""
+    import yaml as _yaml
+
+    from deeplip_tpu.cli.train_fusion import extract_pairs, make_trainer
+    from deeplip_tpu.core.config import load_fusion_config
+
+    root = str(tmp_path / "corpus")
+    make_audio_corpus(root, n_spk=2, utts_per_spk=1, duration=0.8)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    names = ["/".join(u.path.split(os.sep)[-2:])
+             for spk in manifest.speakers for u in spk]
+
+    rng = np.random.default_rng(0)
+    clips = [rng.integers(0, 255, (4, 96, 96)).astype(np.uint8)
+             for _ in names]
+    vroot_a = str(tmp_path / "video_a")   # uniform 96x96
+    vroot_b = str(tmp_path / "video_b")   # first clip on a 112x112 canvas
+    for vroot, pad_first in ((vroot_a, False), (vroot_b, True)):
+        for i, name in enumerate(names):
+            spk_dir, fname = os.path.split(name)
+            stem = os.path.splitext(fname)[0]
+            os.makedirs(os.path.join(vroot, spk_dir), exist_ok=True)
+            d = clips[i]
+            if pad_first and i == 0:
+                # +8 border pixels per side: the (88,88) center crop of the
+                # 112x112 canvas is exactly the center crop of the original
+                d = np.pad(d, ((0, 0), (8, 8), (8, 8)))
+            np.savez(os.path.join(vroot, spk_dir, stem + ".npz"), data=d)
+
+    cfg_dict = {
+        "data": {
+            "frames": [30, 40],
+            "train_manifest": os.path.join(root, "manifest.csv"),
+            "video_root": vroot_a, "test_root": root,
+            "python_data_config": {
+                "rate": 16000, "feat_type": "mfcc",
+                "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                         "energy": True, "normalize": True, "delta": False,
+                         "win_len": 0.025, "win_shift": 0.01}},
+        },
+        "model": {
+            "audio_config": {"arch": "tdnn", "tdnn": {
+                "input_dim": 24, "hidden_dim": [16, 32],
+                "context": [[-2, -1, 0, 1, 2], [0]], "tdnn_layers": 2,
+                "embedding_dim": 8, "pooling": "statistic",
+                "attention_hidden_size": 4, "bn_first": True}},
+            "video_config": {"arch": "tcn", "tcn": {
+                "extract_feats": True, "backbone_type": "resnet",
+                "width_mult": 1.0, "relu_type": "prelu", "tcn_num_layers": 1,
+                "tcn_kernel_size": [3], "tcn_dropout": 0.2, "tcn_dwpw": False,
+                "tcn_width_mult": 1}},
+        },
+        "train": {"optimizer": "sgd", "bs": 4, "lr_decay_step": [4],
+                  "lr_decay": 0.1, "epoch": 1, "loss": "CrossEntropy",
+                  "max_clips": 1, "clip_frames": 4,
+                  "sgd": {"init_lr": 0.5, "weight_decay": 1e-5,
+                          "momentum": 0.9},
+                  "resume": "None",
+                  "audio_config": {"resume": "None"},
+                  "video_config": {"resume": "None"}},
+        "test": {},
+    }
+    cfg_path = str(tmp_path / "fusion.yaml")
+    _yaml.safe_dump(cfg_dict, open(cfg_path, "w"))
+    cfg_a = load_fusion_config(cfg_path)
+    cfg_dict["data"]["video_root"] = vroot_b
+    cfg_path_b = str(tmp_path / "fusion_b.yaml")
+    _yaml.safe_dump(cfg_dict, open(cfg_path_b, "w"))
+    cfg_b = load_fusion_config(cfg_path_b)
+
+    trainer = make_trainer(cfg_a, str(tmp_path / "exp"), "mixed0")
+    _, video_a = extract_pairs(trainer, cfg_a, names, return_parts=True)
+    _, video_b = extract_pairs(trainer, cfg_b, names, return_parts=True)
+    for n in names:
+        np.testing.assert_array_equal(video_a[n], video_b[n])
