@@ -134,7 +134,8 @@ def load_reference_audio_checkpoint(path: str, n_blocks: int) -> tuple[dict, dic
 # ---------------------------------------------------------------------------
 
 def import_lipreading_state_dict(
-    state_dict: Mapping[str, Any], layers: tuple[int, ...] = (2, 2, 2, 2)
+    state_dict: Mapping[str, Any], layers: tuple[int, ...] = (2, 2, 2, 2),
+    float_dtype=np.float32,
 ) -> tuple[dict, dict]:
     """Reference ``Lipreading`` weights -> our frame-feature path params.
 
@@ -152,7 +153,7 @@ def import_lipreading_state_dict(
     :class:`deeplip_tpu.models.lipreading.Lipreading` (TCN/classifier keys
     are left at their initialized values and must be merged by the caller).
     """
-    sd = _clean_state_dict(state_dict)
+    sd = _clean_state_dict(state_dict, float_dtype)
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
 

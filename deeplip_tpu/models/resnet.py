@@ -115,5 +115,8 @@ class ResNetTrunk(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage}_block{i}",
                 )(x, train=train)
-        # pool in float32 (bf16 mean over 22x22 loses precision)
-        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        # pool in >= float32 (bf16 mean over 22x22 loses precision; f64
+        # inputs keep f64 — the video train-parity harness runs doubles)
+        return jnp.mean(
+            x.astype(jnp.promote_types(x.dtype, jnp.float32)), axis=(1, 2)
+        )  # AdaptiveAvgPool2d(1)

@@ -3,11 +3,14 @@
 Rebuilds ``models/video_models/tcn.py`` time-major ``(B, T, C)``:
 
 - The reference pads each Conv1d by ``(k-1)*d`` on both sides and then
-  symmetrically chomps ``(k-1)*d`` total (``Chomp1d`` with ``symm_chomp``,
-  ``tcn.py:12-25,49``). Pad-then-chomp is an artifact of torch's symmetric
-  padding; the composition is exactly a centered SAME convolution, so here
-  each block convolves once with ``(k-1)*d/2`` padding per side — fewer ops,
-  same math.
+  symmetrically chomps ``(k-1)*d`` total — AFTER BatchNorm (``Chomp1d``
+  with ``symm_chomp``, ``tcn.py:12-25,49``). For the conv math and
+  eval-mode BN that composition is exactly a centered SAME convolution,
+  so the eval path convolves once with ``(k-1)*d/2`` padding per side.
+  Train mode reproduces torch's batch statistics exactly — BN over the
+  unchomped ``T+(k-1)*d`` positions, then the chomp (see
+  :class:`ConvBatchRelu`; proven by ``scripts/parity_check.py
+  --train-parity-video``).
 - ``MultibranchTemporalBlock`` (``tcn.py:64-116``): parallel branches with
   kernel sizes [3, 5, 7], each producing ``n_outputs/num_kernels`` channels,
   concatenated; two such multi-branch layers with dropout; residual with a
@@ -39,7 +42,23 @@ def _act(relu_type: str, name: str):
 
 
 class ConvBatchRelu(nn.Module):
-    """Centered dilated conv + BN + activation (== Conv-BN-Chomp-ReLU)."""
+    """Dilated conv + BN + activation == the reference's
+    Conv-BN-Chomp-ReLU (``tcn.py:28-60``).
+
+    The reference pads the Conv1d by ``(k-1)·d`` on BOTH sides and chomps
+    symmetrically AFTER BatchNorm. For the conv math and eval-mode BN
+    (running stats) that composition is exactly a centered SAME conv —
+    the eval path convolves once with ``(k-1)·d/2`` per side. But in
+    TRAIN mode torch's BN computes batch statistics over the UNCHOMPED
+    ``T+(k-1)·d`` positions — the ``(k-1)·d`` boundary columns produced
+    from zero-padded windows are part of every mean/var (62% of positions
+    at the deepest layer of the shipped multibranch config, k=7 d=8 on
+    29-frame clips). The train path reproduces that exactly: pad → VALID
+    conv to length ``T+(k-1)·d`` → BN (batch stats over the padded
+    length) → symmetric chomp → activation. One shared VALID conv serves
+    both paths, so the parameter tree is unchanged. Verified end-to-end
+    by ``scripts/parity_check.py --train-parity-video``.
+    """
 
     features: int
     kernel_size: int
@@ -49,24 +68,42 @@ class ConvBatchRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        pad = (self.kernel_size - 1) * self.dilation // 2
+        full = (self.kernel_size - 1) * self.dilation
+        half = full // 2
+
+        def pad_t(v, p):
+            return jnp.pad(v, ((0, 0), (p, p), (0, 0)))
+
+        def chomp(v):
+            # symmetric chomp of `full` (tcn.py:12-25); (k-1)·d is even
+            # for the odd kernels used everywhere
+            return v[:, half : v.shape[1] - (full - half)] if train else v
+
+        def run_conv(conv, bn, act, v):
+            # train: torch's pad->conv->BN(padded stats)->chomp; eval:
+            # the equivalent centered SAME conv (cheaper, same values)
+            v = conv(pad_t(v, full if train else half))
+            v = bn(v, use_running_average=not train)
+            return act(chomp(v))
+
         if self.dwpw:
-            x = nn.Conv(
-                x.shape[-1], (self.kernel_size,), kernel_dilation=(self.dilation,),
-                padding=[(pad, pad)], feature_group_count=x.shape[-1],
-                use_bias=False, name="dw_conv",
-            )(x)
-            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="dw_bn")(x)
-            x = _act(self.relu_type, "dw_act")(x)
+            x = run_conv(
+                nn.Conv(x.shape[-1], (self.kernel_size,),
+                        kernel_dilation=(self.dilation,), padding="VALID",
+                        feature_group_count=x.shape[-1], use_bias=False,
+                        name="dw_conv"),
+                TorchBatchNorm(momentum=0.9, epsilon=1e-5, name="dw_bn"),
+                _act(self.relu_type, "dw_act"), x)
             x = nn.Conv(self.features, (1,), use_bias=False, name="pw_conv")(x)
-            x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pw_bn")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name="pw_bn")(x)
             return _act(self.relu_type, "pw_act")(x)
-        x = nn.Conv(
-            self.features, (self.kernel_size,), kernel_dilation=(self.dilation,),
-            padding=[(pad, pad)], name="conv",
-        )(x)
-        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
-        return _act(self.relu_type, "act")(x)
+        return run_conv(
+            nn.Conv(self.features, (self.kernel_size,),
+                    kernel_dilation=(self.dilation,), padding="VALID",
+                    name="conv"),
+            TorchBatchNorm(momentum=0.9, epsilon=1e-5, name="bn"),
+            _act(self.relu_type, "act"), x)
 
 
 class MultibranchTemporalBlock(nn.Module):

@@ -104,6 +104,14 @@ class VideoTrainer:
     def _step_math(self, state: TrainState, clips_u8, lengths, labels, key):
         kt, kd = jax.random.split(key)
         x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
+        return self._step_from_frames(state, x, lengths, labels, kd)
+
+    def _step_from_frames(self, state: TrainState, x, lengths, labels, kd):
+        """One optimizer step from ALREADY-TRANSFORMED frames ``(B,T,H,W,1)``
+        (the on-device random crop/flip of :func:`_step_math` already
+        applied). Split out so the train-parity harness can feed torch and
+        this trainer bit-identical inputs (``scripts/parity_check.py
+        --train-parity-video``)."""
         # mesh-divisibility pad rows carry length 0 (the loop replicates a
         # real row's pixels so BN statistics see no blank images): mask them
         # out of the loss and accuracy
@@ -138,6 +146,13 @@ class VideoTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, clips_u8, lengths, labels, key):
         return self._step_math(state, clips_u8, lengths, labels, key)
+
+    @partial(jax.jit, static_argnums=0)
+    def _train_step_frames(self, state: TrainState, x, lengths, labels, key):
+        """Parity/test entry: one step from pre-transformed frames (no
+        random crop/flip — ``key`` only drives dropout). Not donated: the
+        harness compares states across steps."""
+        return self._step_from_frames(state, x, lengths, labels, key)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step_group(self, state: TrainState, clips_u8, lengths, labels, keys):

@@ -350,6 +350,275 @@ def run_train_parity(loss_name="LMCL", steps=12, bs=16, t_frames=120,
     }
 
 
+def build_torch_lipreading(torch, num_classes, hidden_dim=8, tcn_layers=2,
+                           layers=(1, 1, 1, 1), dropout=0.0):
+    """Independent torch Lipreading mirror with the reference state_dict
+    layout — frontend3D (model.py:81-85), stemless ResNet trunk
+    (resnet.py:45-111), single-branch TCN with pad+symm-chomp convs
+    (tcn.py:145-244) and the _average_batch consensus + tcn_output Linear
+    (model.py:14-17,40-58). PReLU everywhere; built so
+    ``interop.torch_import.import_lipreading_state_dict`` maps every
+    parameter onto :class:`deeplip_tpu.models.lipreading.Lipreading`."""
+    nn = torch.nn
+
+    class Chomp(nn.Module):  # tcn.py:12-25, symmetric
+        def __init__(self, size):
+            super().__init__()
+            self.size = size
+
+        def forward(self, x):
+            if self.size == 0:
+                return x
+            return x[:, :, self.size // 2:-(self.size // 2)].contiguous()
+
+    class Block(nn.Module):  # resnet.py BasicBlock, 1x1-conv downsample
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu1 = nn.PReLU(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.relu2 = nn.PReLU(planes)
+            self.downsample = None
+            if stride != 1 or cin != planes:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes))
+
+        def forward(self, x):
+            r = x if self.downsample is None else self.downsample(x)
+            h = self.relu1(self.bn1(self.conv1(x)))
+            h = self.bn2(self.conv2(h))
+            return self.relu2(h + r)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cin = 64
+            for stage, (planes, n) in enumerate(
+                    zip((64, 128, 256, 512), layers), 1):
+                blocks = []
+                for i in range(n):
+                    blocks.append(Block(
+                        cin, planes, 2 if (i == 0 and stage > 1) else 1))
+                    cin = planes
+                setattr(self, f"layer{stage}", nn.Sequential(*blocks))
+
+        def forward(self, x):
+            for stage in range(1, 5):
+                x = getattr(self, f"layer{stage}")(x)
+            return torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
+
+    class TemporalBlock(nn.Module):  # tcn.py:145-224, symm_chomp
+        def __init__(self, cin, cout, k, dilation):
+            super().__init__()
+            pad = (k - 1) * dilation
+            self.conv1 = nn.Conv1d(cin, cout, k, padding=pad,
+                                   dilation=dilation)
+            self.batchnorm1 = nn.BatchNorm1d(cout)
+            self.chomp1 = Chomp(pad)
+            self.relu1 = nn.PReLU(cout)
+            self.dropout1 = nn.Dropout(dropout)
+            self.conv2 = nn.Conv1d(cout, cout, k, padding=pad,
+                                   dilation=dilation)
+            self.batchnorm2 = nn.BatchNorm1d(cout)
+            self.chomp2 = Chomp(pad)
+            self.relu2 = nn.PReLU(cout)
+            self.dropout2 = nn.Dropout(dropout)
+            self.downsample = nn.Conv1d(cin, cout, 1) if cin != cout else None
+            self.relu = nn.PReLU(cout)
+
+        def forward(self, x):
+            out = self.dropout1(self.relu1(self.chomp1(
+                self.batchnorm1(self.conv1(x)))))
+            out = self.dropout2(self.relu2(self.chomp2(
+                self.batchnorm2(self.conv2(out)))))
+            res = x if self.downsample is None else self.downsample(x)
+            return self.relu(out + res)
+
+    class TcnTrunk(nn.Module):  # tcn.py:227-244
+        def __init__(self):
+            super().__init__()
+            net = []
+            cin = 512
+            for i in range(tcn_layers):
+                net.append(TemporalBlock(cin, hidden_dim, 3, 2 ** i))
+                cin = hidden_dim
+            self.network = nn.Sequential(*net)
+
+        def forward(self, x):
+            return self.network(x)
+
+    class TCNHead(nn.Module):  # model.py:40-58 (TCN wrapper)
+        def __init__(self):
+            super().__init__()
+            self.tcn_trunk = TcnTrunk()
+            self.tcn_output = nn.Linear(hidden_dim, num_classes)
+
+        def forward(self, x, lengths):  # x: (B, T, C)
+            x = self.tcn_trunk(x.transpose(1, 2))
+            # _average_batch (model.py:16-17): per-sample mean over the
+            # first `l` frames
+            x = torch.stack(
+                [torch.mean(x[i][:, :l], 1) for i, l in enumerate(lengths)], 0)
+            return self.tcn_output(x)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.frontend3D = nn.Sequential(
+                nn.Conv3d(1, 64, (5, 7, 7), (1, 2, 2), (2, 3, 3), bias=False),
+                nn.BatchNorm3d(64),
+                nn.PReLU(64),
+                nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)))
+            self.trunk = Trunk()
+            self.tcn = TCNHead()
+
+        def forward(self, x, lengths):  # x: (B, 1, T, H, W)
+            b = x.shape[0]
+            h = self.frontend3D(x)
+            t = h.shape[2]
+            h = h.transpose(1, 2).reshape(
+                b * t, h.shape[1], h.shape[3], h.shape[4])
+            f = self.trunk(h).reshape(b, t, -1)
+            return self.tcn(f, lengths)
+
+    return Net()
+
+
+def run_video_train_parity(steps=8, bs=3, t_frames=6, hw=48, n_classes=5,
+                           lr=3e-4, weight_decay=1e-4, seed=0,
+                           dtype="float64"):
+    """Video train-STEP parity: N optimizer updates of the reference video
+    recipe (/root/reference/train_video.py:119-167 — full train-mode
+    Lipreading forward incl. BN batch stats, CE, torch Adam with coupled
+    L2 weight decay 1e-4, CosineAnnealingLR stepped per iteration) run
+    from the same init on the same pre-transformed frames in torch-CPU
+    and deeplip's VideoTrainer (``_train_step_frames``). The r3 audio
+    harness proved the SGD/LMCL semantics; this proves the video stack's
+    Adam/BN/consensus training semantics, which forward-only import parity
+    never exercises. Architecture is the real Lipreading shrunk via the
+    trainer's own hidden_dim/trunk_layers knobs (hidden 8, one block per
+    stage); dropout=0 for determinism. f64 bounds both sides' arithmetic
+    noise below the 1e-5 bar (CE+Adam is smooth, unlike LMCL, but Adam's
+    rsqrt amplifies f32 noise for near-zero second moments)."""
+    import numpy as np
+    import torch
+
+    import jax
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.interop.torch_import import import_lipreading_state_dict
+    from deeplip_tpu.train.state import TrainState
+    from deeplip_tpu.train.video import VideoTrainer
+    from deeplip_tpu.core.mesh import replicated_sharding
+
+    if dtype == "float64":
+        ctx = jax.enable_x64()
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    layers = (1, 1, 1, 1)
+    hidden = 8
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    tnet = build_torch_lipreading(torch, n_classes, hidden_dim=hidden,
+                                  tcn_layers=2, layers=layers)
+    if dtype == "float64":
+        tnet.double()
+    import copy
+
+    tnet_init_sd = copy.deepcopy(tnet.state_dict())
+    opt = torch.optim.Adam(tnet.parameters(), lr=lr,
+                           weight_decay=weight_decay)
+    # the reference steps the cosine schedule once per ITERATION
+    # (train_video.py quirk kept by VideoTrainer)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
+
+    frames = rng.standard_normal(
+        (steps, bs, t_frames, hw, hw)).astype(np_dtype)
+    labels = rng.integers(0, n_classes, (steps, bs)).astype(np.int64)
+    lengths = rng.integers(t_frames // 2, t_frames + 1, (bs,)).astype(np.int32)
+
+    tnet.train()
+    torch_losses = []
+    for k in range(steps):
+        opt.zero_grad()
+        out = tnet(torch.tensor(frames[k])[:, None], list(lengths))
+        loss = torch.nn.functional.cross_entropy(
+            out, torch.tensor(labels[k]))
+        loss.backward()
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss.item()))
+
+    cfg = Config({
+        "backbone_type": "resnet", "relu_type": "prelu",
+        "tcn_kernel_size": [3], "tcn_num_layers": 2, "tcn_dropout": 0.0,
+        "tcn_dwpw": False, "tcn_width_mult": 1, "width_mult": 1.0,
+    })
+    ours_losses = []
+    with ctx:
+        import jax.numpy as jnp
+
+        trainer = VideoTrainer(cfg, n_classes, lr=lr,
+                               weight_decay=weight_decay, t_max=steps,
+                               crop_size=(hw, hw), hidden_dim=hidden,
+                               trunk_layers=layers)
+        if dtype == "float64":
+            trainer.model = trainer.model.clone(dtype=jnp.float64)
+            trainer.train_model = trainer.model
+        # identical init: import the torch snapshot, keep any keys the
+        # importer does not cover from a fresh flax init (none expected)
+        i_params, i_stats = import_lipreading_state_dict(
+            tnet_init_sd, layers=layers, float_dtype=np_dtype)
+        variables = trainer.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, hw, hw, 1), np_dtype))
+        params = {**variables["params"], **i_params}
+        stats = {**variables["batch_stats"], **i_stats}
+        state = TrainState(
+            params=jax.device_put(params, replicated_sharding(trainer.mesh)),
+            batch_stats=jax.device_put(
+                stats, replicated_sharding(trainer.mesh)),
+            opt_state=trainer.tx.init(params),
+            step=0,
+        )
+        for k in range(steps):
+            state, metrics = trainer._train_step_frames(
+                state, jnp.asarray(frames[k])[..., None],
+                jnp.asarray(lengths), jnp.asarray(labels[k]),
+                jax.random.PRNGKey(k))
+            ours_losses.append(float(metrics["loss"]))
+
+        fparams, fstats = import_lipreading_state_dict(
+            tnet.state_dict(), layers=layers, float_dtype=np_dtype)
+        ours_p = jax.tree.map(np.asarray, state.params)
+        drift = max(jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            {k: ours_p[k] for k in fparams}, fparams)))
+        ours_s = jax.tree.map(np.asarray, state.batch_stats)
+        stats_drift = max(jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            {k: ours_s[k] for k in fstats}, fstats)))
+
+    loss_diffs = [abs(a - b) for a, b in zip(torch_losses, ours_losses)]
+    return {
+        "kind": "video",
+        "dtype": dtype,
+        "steps": steps,
+        "torch_losses": torch_losses,
+        "deeplip_losses": ours_losses,
+        "max_loss_abs_diff": max(loss_diffs),
+        "final_param_max_drift": drift,
+        "final_batch_stats_max_drift": stats_drift,
+        "param_drift_bar_1e-5": drift <= 1e-5,
+    }
+
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None, help="reference net_*.pth (torch)")
@@ -366,6 +635,11 @@ def main() -> None:
                    help="N-step optimizer-update parity vs torch (LMCL + "
                         "CrossEntropy recipes); asserts per-step loss "
                         "agreement and final param drift <= 1e-5")
+    p.add_argument("--train-parity-video", action="store_true",
+                   help="N-step video-recipe parity vs torch (Lipreading + "
+                        "CE + torch Adam + per-iteration cosine, f64); "
+                        "asserts per-step loss agreement and final param "
+                        "drift <= 1e-5")
     p.add_argument("--n-spk", type=int, default=None)
     p.add_argument("--utts-per-spk", type=int, default=None)
     p.add_argument("--n-trials", type=int, default=None)
@@ -413,6 +687,17 @@ def main() -> None:
             with open(args.report, "w") as f:
                 json.dump(reports, f, indent=2)
         if failed:
+            raise SystemExit(3)
+        return
+
+    if args.train_parity_video:
+        steps = args.train_steps if args.train_steps is not None else 10
+        r = run_video_train_parity(steps=steps)
+        print(json.dumps(r, indent=2))
+        if args.report:
+            with open(args.report, "w") as f:
+                json.dump(r, f, indent=2)
+        if not r["param_drift_bar_1e-5"]:
             raise SystemExit(3)
         return
 

@@ -56,3 +56,19 @@ def test_train_parity_losses_decrease(loss_name):
     assert len(r["torch_losses"]) == 10
     assert r["deeplip_losses"][0] == pytest.approx(r["torch_losses"][0],
                                                    abs=1e-4)
+
+
+def test_train_parity_video_f64_10_steps():
+    """Video-recipe train-step parity (r3): 10 updates of the reference
+    video recipe (/root/reference/train_video.py:119-167 — Lipreading
+    train-mode forward incl. the TCN's BN-over-padded-length batch stats,
+    CE, torch Adam with coupled L2, per-iteration cosine schedule) from
+    the same imported init on the same frames. f64 bounds arithmetic
+    noise (Adam's rsqrt amplifies f32 noise); agreement far below the
+    1e-5 bar proves the video training semantics are identical."""
+    from parity_check import run_video_train_parity
+
+    r = run_video_train_parity(steps=10)
+    assert r["max_loss_abs_diff"] <= 1e-7, r
+    assert r["final_param_max_drift"] <= 1e-7, r
+    assert r["final_batch_stats_max_drift"] <= 1e-7, r
