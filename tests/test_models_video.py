@@ -181,3 +181,53 @@ def test_lipreading_frontend_odd_hw_fallback():
     out = mod.apply(variables, x)
     assert out.shape == (1, 5, 44, 44, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tcn_dwpw_train_and_eval_modes():
+    """dwpw (depthwise-separable) TCN: train mode (padded-length BN stats,
+    r3 ConvBatchRelu restructure) and eval mode (centered SAME) both run
+    and agree in shape; eval uses running stats so values differ from
+    train by the BN mode only."""
+    from deeplip_tpu.models.tcn import TemporalConvNet
+
+    net = TemporalConvNet((8, 8), kernel_size=3, dropout=0.0,
+                          relu_type="prelu", dwpw=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 7, 6)),
+                    jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    y_eval = net.apply(v, x, train=False)
+    y_train, upd = net.apply(v, x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y_eval.shape == y_train.shape == (2, 7, 8)
+    assert np.isfinite(np.asarray(y_eval)).all()
+    assert np.isfinite(np.asarray(y_train)).all()
+    # train mode must have updated the running stats
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(v["batch_stats"]),
+                        jax.tree_util.tree_leaves(upd["batch_stats"])))
+    assert changed
+
+
+def test_multibranch_tcn_deep_dilation_train_mode():
+    """Multibranch [3,5,7] with 4 levels (dilation up to 8): the train-mode
+    padded conv works even when the pad (k-1)*d = 48 exceeds T, and
+    gradients flow."""
+    from deeplip_tpu.models.tcn import MultibranchTemporalConvNet
+
+    net = MultibranchTemporalConvNet((6, 6, 6, 6), (3, 5, 7), 0.0,
+                                     "prelu", False)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 9, 4)),
+                    jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(p):
+        y, _ = net.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                         train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    assert any(float(jnp.abs(l).max()) > 0 for l in flat)
