@@ -317,5 +317,53 @@ def _hostio_sweep(jax, jnp, embed_pcm, variables, pairs, n_batches,
         shutil.rmtree(corpus, ignore_errors=True)
 
 
+def _supervise():
+    """Run the measurement in a fresh subprocess, retrying on transient
+    TPU-tunnel failures.
+
+    This rig's remote PJRT tunnel occasionally refuses connections or hangs
+    at backend init for minutes (observed r3: two back-to-back bench runs
+    died at startup, a third succeeded after the tunnel recovered). A failed
+    JAX backend init poisons the process-global backend cache, so retry must
+    be a NEW process. The supervisor forwards the child's stderr live,
+    prints only the final JSON line on success, and bounds each attempt so a
+    hung tunnel cannot wedge the driver.
+    """
+    import subprocess
+
+    delays = (0, 60, 240, 600)  # seconds before each of 4 attempts
+    last_out = ""
+    for attempt, delay in enumerate(delays, 1):
+        if delay:
+            print(
+                f"bench: retrying in {delay}s (attempt {attempt}/{len(delays)})",
+                file=sys.stderr, flush=True)
+            time.sleep(delay)
+        env = dict(os.environ, DEEPLIP_BENCH_INNER="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {attempt} timed out after 2400s",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(proc.stderr)
+        last_out = proc.stdout
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines())
+             if ln.startswith("{") and '"metric"' in ln), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"bench: attempt {attempt} failed (rc={proc.returncode})",
+              file=sys.stderr, flush=True)
+    sys.stdout.write(last_out)  # surface whatever the last attempt printed
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DEEPLIP_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_supervise())
