@@ -17,12 +17,13 @@ Rebuilds ``models/video_models/model.py`` TPU-first. Input is channel-last
   ``(B, T, backend_out)`` per-frame features (``model.py:104-105``).
 
 Because the frontend's temporal conv is SAME-padded (pad 2 for kernel 5),
-``T_out == T`` and frame validity masks carry through unchanged — except
-that padded frames within the temporal receptive field of real frames leak
-into them; for exact ragged-batch parity use per-bucket padding and the
-``lengths`` mask, which reproduces the reference's (also zero-leaking)
-per-clip behavior: the reference likewise pads zero frames in its collate
-(``dataset.py:123-139``) and feeds true lengths only to the consensus.
+``T_out == T`` and frame validity masks carry through unchanged. Ragged
+batches achieve EXACT per-clip parity when pad frames are zeroed after the
+pixel transform (``ops/video.py:mask_pad_frames``, applied by every
+trainer call site): a zero pad frame contributes exactly what the conv's
+own temporal zero padding would, so a padded batch's frame features equal
+the reference's unpadded batch-1 extraction
+(``tests/test_models_video.py::test_padded_batch_frame_features_equal_per_clip``).
 """
 
 from __future__ import annotations

@@ -94,6 +94,30 @@ def eval_transform(
     return normalize_pixels(center_crop(clips, size), mean, std)
 
 
+def mask_pad_frames(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero transformed frames at positions ``>= length``.
+
+    Bucketed batches pad clips with uint8 zeros BEFORE the normalize
+    affine, which would leave pad frames at ``(0/255 - mean)/std ≈ -2.55``
+    — the reference instead zero-pads AFTER its numpy transforms
+    (``pad_packed_collate``, ``dataset.py:123-139``), so its pad frames are
+    exact zeros. Zeroing post-transform restores that, and because the
+    frontend Conv3D (temporal SAME pad 2) is the only op that mixes time
+    before the consensus mask, it also makes padded-batch frame features
+    bit-equal to the reference's per-clip batch-1 extraction
+    (``train_fusion.py:268-274``, ``train_video.py:99-106``): a zeroed pad
+    frame contributes exactly what the conv's own zero padding would.
+
+    ``lengths == 0`` rows (mesh-divisibility padding, which replicates a
+    real row's pixels so train-mode BN statistics see no blank images —
+    see ``train/video.py``) are left untouched.
+    """
+    t = x.shape[1]
+    eff = jnp.where(lengths > 0, lengths, t)
+    mask = (jnp.arange(t)[None, :] < eff[:, None]).astype(x.dtype)
+    return x * mask.reshape(mask.shape + (1,) * (x.ndim - 2))
+
+
 def add_noise_snr(signal: jnp.ndarray, noise: jnp.ndarray, snr_db: float) -> jnp.ndarray:
     """SNR-targeted additive noise for raw audio (preprocess.py:150-179;
     defined-but-unused in the reference, implemented for completeness)."""

@@ -47,7 +47,7 @@ from deeplip_tpu.train import checkpoint as ckpt
 from deeplip_tpu.train.audio import masked_cmvn
 from deeplip_tpu.train.metrics import NanGuard, StepLogger
 from deeplip_tpu.train.schedules import multistep_schedule
-from deeplip_tpu.train.state import TrainState, torch_sgd
+from deeplip_tpu.train.state import TrainState, build_optimizer
 
 
 def _znorm(x: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +126,21 @@ class FusionTrainer:
         self.loss_name = loss
         self.criterion = build_criterion(loss, n_spk, scale, margin)
         self.schedule = multistep_schedule(lr, list(lr_decay_step), lr_decay, steps_per_epoch)
-        self.tx = torch_sgd(self.schedule, momentum=momentum, weight_decay=weight_decay)
+        # torch's SGD skips parameters whose grad is None entirely — no
+        # coupled weight decay, no momentum. The reference head has such
+        # dead parameters: LowFER's U/V never reach the loss (the MFB
+        # branch is computed then overwritten, LBP.py:48-51), so they stay
+        # bit-frozen for the whole fusion run. An unmasked optax chain
+        # would instead decay them every step (~5.6e-5 drift over 10
+        # reference-recipe steps, caught by scripts/parity_check.py
+        # --train-parity-fusion). Detect dead head params with a gradient
+        # probe and mask them out of the optimizer.
+        self.tx = build_optimizer(
+            "sgd", self.schedule, momentum=momentum,
+            weight_decay=weight_decay,
+            trainable_mask={"fusion": self._live_head_param_mask(),
+                            "criterion": True},
+        )
 
         self.log_time = log_time or time.strftime("%b_%d_%H-%M-%S_%Y")
         self.exp_dir = os.path.join(exp_root, self.log_time)
@@ -137,6 +151,26 @@ class FusionTrainer:
         # frozen encoder variables, set by init or load_encoders
         self.audio_vars = None
         self.video_vars = None
+
+    def _live_head_param_mask(self):
+        """Bool pytree over the fusion head's params: True where a
+        parameter is reachable from the head output (torch: grad is not
+        None), False for structurally dead parameters (LowFER U/V — the
+        MFB branch is overwritten, LBP.py:48-51; LinearFusion's fc2 under
+        ``extract_feats``). Dead params must receive NO update — torch's
+        optimizer never sees them."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(17), 3)
+        e1 = jax.random.normal(k1, (2, self.audio_model.embedding_dim), jnp.float32)
+        e2 = jax.random.normal(k2, (2, self.video_model.backend_out), jnp.float32)
+        fvars = self._head_init(k3, e1, e2)
+        extra = {k: v for k, v in fvars.items() if k != "params"}
+
+        def probe(p):
+            out = self._head_apply({"params": p, **extra}, e1, e2)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(probe)(fvars.get("params", {}))
+        return jax.tree.map(lambda x: bool(jnp.any(x != 0)), g)
 
     # ------------------------------------------------------------------
     def init_encoders(self, seed: int = 0, example_frames: int = 60) -> None:
@@ -262,6 +296,12 @@ class FusionTrainer:
         b, g, t = clips_u8.shape[:3]
         x = V.eval_transform(clips_u8.reshape((b * g, t) + clips_u8.shape[3:]),
                              self.crop_size)[..., None]
+        # zero temporal padding post-transform: the reference embeds every
+        # clip unpadded at batch 1 (train_fusion.py:268-274); zeroed pad
+        # frames reproduce its conv zero-padding exactly (ops/video.py:
+        # mask_pad_frames), so the dense (B, G, T, ...) batch matches the
+        # per-clip loop bit-for-bit
+        x = V.mask_pad_frames(x, clip_lengths.reshape(b * g))
         feats = model.apply(
             self.video_vars, x, method=model.frame_features
         )  # (B*G, T, D)

@@ -104,6 +104,12 @@ class VideoTrainer:
     def _step_math(self, state: TrainState, clips_u8, lengths, labels, key):
         kt, kd = jax.random.split(key)
         x = V.train_transform(clips_u8, kt, self.crop_size)[..., None]
+        # zero temporal padding AFTER the transform — the reference's
+        # collate pads zeros post-transform (dataset.py:123-139), not
+        # -2.55-valued normalized black frames (see ops/video.py:
+        # mask_pad_frames); length-0 mesh-pad rows keep their replicated
+        # pixels for BN statistics
+        x = V.mask_pad_frames(x, lengths)
         return self._step_from_frames(state, x, lengths, labels, kd)
 
     def _step_from_frames(self, state: TrainState, x, lengths, labels, kd):
@@ -307,6 +313,10 @@ class VideoTrainer:
         def extract(params, batch_stats, clips_u8, lengths):
             with jax.default_matmul_precision("high"):
                 x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+                # zeroed pad frames == the conv's own zero padding, so a
+                # padded batch extracts bit-equal to the reference's
+                # per-clip batch-1 loop (train_video.py:99-106)
+                x = V.mask_pad_frames(x, lengths)
                 feats = self.model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     x,
@@ -371,6 +381,7 @@ class VideoTrainer:
                 # would flip vs the reference)
                 with jax.default_matmul_precision("high"):
                     x = V.eval_transform(clips_u8, self.crop_size)[..., None]
+                    x = V.mask_pad_frames(x, lengths)
                     return self.model.apply(
                         {"params": params, "batch_stats": batch_stats},
                         x,

@@ -619,6 +619,244 @@ def run_video_train_parity(steps=8, bs=3, t_frames=6, hw=48, n_classes=5,
 
 
 
+def build_torch_lowfer(torch, d, o=512, k=30, seed=0):
+    """Torch LowFER replica (LBP.py:8-54, minus the cuda pinning): U/V
+    uniform(-1, 1), MFB branch computed then OVERWRITTEN by the gated
+    concat — the reference's live output is ``[e1, σ(e2), σ(e2)⊙e1]``
+    (LBP.py:48-51), leaving U/V with no gradient."""
+    nn = torch.nn
+    rng = __import__("numpy").random.default_rng(seed)
+
+    class TLowFER(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.U = nn.Parameter(torch.tensor(
+                rng.uniform(-1, 1, (d, k * o)), dtype=torch.float64))
+            self.V = nn.Parameter(torch.tensor(
+                rng.uniform(-1, 1, (d, k * o)), dtype=torch.float64))
+            self.k, self.o = k, o
+
+        def forward(self, e1, e2):
+            x = torch.mm(e1, self.U) * torch.mm(e2, self.V)
+            x = x.view(-1, self.o, self.k).mean(-1)
+            x = nn.functional.normalize(x, p=2, dim=-1)
+            e2 = torch.sigmoid(e2)
+            x = e2 * e1  # MFB result overwritten (LBP.py:49)
+            return torch.cat([e1, e2, x], dim=1)
+
+    return TLowFER()
+
+
+def run_fusion_train_parity(steps=10, bs=4, g=2, t_clip=5, hw=48,
+                            crop=44, n_spk=6, lr=0.5, momentum=0.9,
+                            weight_decay=1e-5, seed=0):
+    """Fusion train-STEP parity: N optimizer updates of the reference
+    fusion recipe (/root/reference/train_fusion.py:241-315 — frozen
+    eval-mode audio/video encoders, per-clip batch-1 video embedding with
+    time- then group-mean, bad pairs dropped, LowFER gated-concat head,
+    CrossEntropy criterion, SGD 0.5/momentum 0.9/coupled wd 1e-5 over
+    head+criterion only, MultiStepLR [4, 8]) run from the same init on the
+    same raw inputs (PCM + uint8 clips) in torch-CPU and deeplip's
+    ``FusionTrainer._train_step``. Unlike the audio/video harnesses this
+    drives the FULL step from raw inputs: the on-device MFCC, the dense
+    padded clip-group embedding (masked means ≙ the reference's python
+    loops), and the bad-pair masking are all inside the compared step.
+
+    f64 end-to-end. The torch video transform is computed in float32 like
+    ours (``ops/video.py:normalize_pixels``; the reference itself casts to
+    f32 at its FloatTensor step), then fed to the f64 encoders.
+
+    This harness is what exposed the dead-parameter weight-decay
+    deviation: LowFER's U/V receive no gradient (the MFB branch is
+    overwritten, LBP.py:48-51), so torch's SGD skips them entirely
+    (grad None => no coupled decay), while a naive optax chain would decay
+    them every step. ``FusionTrainer`` now masks dead head parameters out
+    of the optimizer (train/fusion.py) to reproduce torch's semantics.
+    """
+    import numpy as np
+    import torch
+
+    import jax
+    from benchmarks.reference_cpu_baseline import numpy_mfcc
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.interop.torch_import import (
+        import_lipreading_state_dict, import_speaker_embnet_state_dict)
+    from deeplip_tpu.train.fusion import FusionTrainer
+    from deeplip_tpu.train.state import TrainState
+    from deeplip_tpu.core.mesh import replicated_sharding
+
+    d = 512  # audio emb dim == video backend_out (LowFER gate needs d1==d2)
+    contexts = [[-2, -1, 0, 1, 2], [-2, 0, 2], [0]]
+    hidden = [32, 32, 64]
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+
+    # ---- torch side: frozen encoders + trainable head/criterion ---------
+    tnet_a = build_torch_net(torch, contexts, [24] + hidden, d).double().eval()
+    tnet_v = build_torch_lipreading(torch, n_spk, hidden_dim=8,
+                                    tcn_layers=2, layers=(1, 1, 1, 1))
+    tnet_v = tnet_v.double().eval()
+    thead = build_torch_lowfer(torch, d, o=d, k=30, seed=seed + 1)
+    tcrit = build_torch_ce(torch, 3 * d, n_spk).double()
+    import copy
+
+    thead_init = copy.deepcopy(thead.state_dict())
+    tcrit_init = copy.deepcopy(tcrit.state_dict())
+    opt = torch.optim.SGD(
+        [{"params": thead.parameters()}, {"params": tcrit.parameters()}],
+        lr=lr, momentum=momentum, weight_decay=weight_decay)
+    # steps_per_epoch=1 below makes our schedule decay at steps 4 and 8,
+    # mirrored here by stepping MultiStepLR once per iteration
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[4, 8], gamma=0.1)
+
+    # ---- shared raw inputs ----------------------------------------------
+    n_samples = 16000
+    pcm = (0.1 * rng.standard_normal((steps, bs, n_samples))).astype(np.float64)
+    clips_u8 = rng.integers(0, 256, (steps, bs, g, t_clip, hw, hw), np.uint8)
+    clip_lengths = np.array([[5, 3], [4, 0], [0, 0], [5, 5]], np.int32)[:bs]
+    group_sizes = np.array([2, 1, 0, 2], np.int32)[:bs]
+    labels = rng.integers(0, n_spk, (steps, bs)).astype(np.int64)
+
+    mean, std = 0.421, 0.165
+    off = (hw - crop) // 2
+
+    def torch_transform(clip_u8):  # (T, hw, hw) u8 -> f64 tensor, f32 math
+        c = clip_u8[:, off:off + crop, off:off + crop]
+        x = (c.astype(np.float32) / np.float32(255.0) - np.float32(mean)) \
+            / np.float32(std)
+        return torch.tensor(x.astype(np.float64))
+
+    def torch_vfeats(x):  # (1, 1, T, H, W) -> (T, 512) trunk frame features
+        h = tnet_v.frontend3D(x)
+        t = h.shape[2]
+        h = h.transpose(1, 2).reshape(t, h.shape[1], h.shape[3], h.shape[4])
+        return tnet_v.trunk(h)
+
+    torch_losses = []
+    with torch.no_grad():
+        pass
+    for k in range(steps):
+        opt.zero_grad()
+        with torch.no_grad():
+            feats = np.stack([numpy_mfcc(pcm[k, i]) for i in range(bs)])
+            x = torch.tensor(np.transpose(feats, (0, 2, 1)))
+            h = tnet_a.tdnn(x)
+            stats = torch.cat([h.mean(2), h.std(2)], 1)
+            xv_audio = tnet_a.fc2(tnet_a.act(tnet_a.bn1(tnet_a.fc1(stats))))
+            em_video, mask = [], []
+            for i in range(bs):
+                if group_sizes[i] > 0:
+                    em = 0
+                    for j in range(group_sizes[i]):
+                        v = torch_transform(
+                            clips_u8[k, i, j, :clip_lengths[i, j]])
+                        em = em + torch_vfeats(v[None, None]).mean(0)
+                    em_video.append(em / int(group_sizes[i]))
+                    mask.append(True)
+                else:  # bad pair: dropped before the loss
+                    em_video.append(torch.zeros(d, dtype=torch.float64))
+                    mask.append(False)
+            em_video = torch.stack(em_video)
+        keep = torch.tensor(mask)
+        out = thead(xv_audio[keep], em_video[keep])
+        loss, _ = tcrit(out, torch.tensor(labels[k])[keep])
+        loss.backward()
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss.item()))
+
+    # ---- deeplip FusionTrainer with the identical recipe ----------------
+    audio_model_opts = {"arch": "tdnn", "tdnn": {
+        "input_dim": 24, "hidden_dim": hidden, "context": contexts,
+        "tdnn_layers": len(contexts), "embedding_dim": d,
+        "pooling": "statistic", "attention_hidden_size": 8,
+        "bn_first": True}}
+    video_cfg = Config({
+        "backbone_type": "resnet", "relu_type": "prelu",
+        "tcn_kernel_size": [3], "tcn_num_layers": 2, "tcn_dropout": 0.0,
+        "tcn_dwpw": False, "tcn_width_mult": 1, "width_mult": 1.0})
+    audio_data = {"rate": 16000, "feat_type": "mfcc", "mfcc": {
+        "n_fft": 512, "num_bin": 26, "num_cep": 24, "energy": True,
+        "normalize": True, "delta": False,
+        "win_len": 0.025, "win_shift": 0.01}}
+
+    ours_losses = []
+    with jax.enable_x64():
+        import jax.numpy as jnp
+
+        trainer = FusionTrainer(
+            audio_model_opts, video_cfg, n_spk=n_spk,
+            audio_data_opts=audio_data, lr=lr, momentum=momentum,
+            weight_decay=weight_decay, lr_decay_step=(4, 8),
+            steps_per_epoch=1, crop_size=(crop, crop),
+            video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
+            loss="CrossEntropy")
+        trainer.audio_model = trainer.audio_model.clone(dtype=jnp.float64)
+        trainer.train_audio_model = trainer.audio_model
+        trainer.video_model = trainer.video_model.clone(dtype=jnp.float64)
+        trainer.train_video_model = trainer.video_model
+        trainer._train_dtype = jnp.float64
+
+        trainer.init_encoders()
+        a_params, a_stats = import_speaker_embnet_state_dict(
+            tnet_a.state_dict(), n_blocks=len(contexts),
+            float_dtype=np.float64)
+        trainer.audio_vars = {"params": a_params, "batch_stats": a_stats}
+        v_params, v_stats = import_lipreading_state_dict(
+            tnet_v.state_dict(), layers=(1, 1, 1, 1), float_dtype=np.float64)
+        trainer.video_vars = {
+            "params": {**trainer.video_vars["params"], **v_params},
+            "batch_stats": {**trainer.video_vars["batch_stats"], **v_stats}}
+
+        head_params = {
+            "U": thead_init["U"].numpy().copy(),
+            "V": thead_init["V"].numpy().copy()}
+        w = tcrit_init["fc.weight"].numpy()
+        crit_params = {"fc": {
+            "kernel": np.ascontiguousarray(w.T),
+            "bias": tcrit_init["fc.bias"].numpy().copy()}}
+        params = {"fusion": head_params, "criterion": crit_params}
+        state = TrainState(
+            params=jax.device_put(params, replicated_sharding(trainer.mesh)),
+            batch_stats={},
+            opt_state=trainer.tx.init(params), step=0)
+        for k in range(steps):
+            state, metrics = trainer._train_step(
+                state, jnp.asarray(pcm[k]), jnp.asarray(clips_u8[k]),
+                jnp.asarray(clip_lengths), jnp.asarray(group_sizes),
+                jnp.asarray(labels[k]))
+            ours_losses.append(float(metrics["loss"]))
+
+        ours_p = jax.tree.map(np.asarray, state.params)
+        ref_tree = {
+            "fusion": {"U": thead.U.detach().numpy(),
+                       "V": thead.V.detach().numpy()},
+            "criterion": {"fc": {
+                "kernel": np.ascontiguousarray(
+                    tcrit.fc.weight.detach().numpy().T),
+                "bias": tcrit.fc.bias.detach().numpy()}}}
+        drift = max(jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            ours_p, ref_tree)))
+        dead_drift = max(
+            float(np.abs(ours_p["fusion"]["U"] - ref_tree["fusion"]["U"]).max()),
+            float(np.abs(ours_p["fusion"]["V"] - ref_tree["fusion"]["V"]).max()))
+
+    loss_diffs = [abs(a - b) for a, b in zip(torch_losses, ours_losses)]
+    return {
+        "kind": "fusion",
+        "dtype": "float64",
+        "steps": steps,
+        "torch_losses": torch_losses,
+        "deeplip_losses": ours_losses,
+        "max_loss_abs_diff": max(loss_diffs),
+        "final_param_max_drift": drift,
+        "dead_param_max_drift": dead_drift,
+        "param_drift_bar_1e-5": drift <= 1e-5,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None, help="reference net_*.pth (torch)")
@@ -640,6 +878,12 @@ def main() -> None:
                         "CE + torch Adam + per-iteration cosine, f64); "
                         "asserts per-step loss agreement and final param "
                         "drift <= 1e-5")
+    p.add_argument("--train-parity-fusion", action="store_true",
+                   help="N-step fusion-recipe parity vs torch (frozen "
+                        "encoders + LowFER + CE + SGD over head/criterion "
+                        "only, bad-pair masking, f64, full step from raw "
+                        "PCM + uint8 clips); asserts per-step loss "
+                        "agreement and final param drift <= 1e-5")
     p.add_argument("--n-spk", type=int, default=None)
     p.add_argument("--utts-per-spk", type=int, default=None)
     p.add_argument("--n-trials", type=int, default=None)
@@ -693,6 +937,17 @@ def main() -> None:
     if args.train_parity_video:
         steps = args.train_steps if args.train_steps is not None else 10
         r = run_video_train_parity(steps=steps)
+        print(json.dumps(r, indent=2))
+        if args.report:
+            with open(args.report, "w") as f:
+                json.dump(r, f, indent=2)
+        if not r["param_drift_bar_1e-5"]:
+            raise SystemExit(3)
+        return
+
+    if args.train_parity_fusion:
+        steps = args.train_steps if args.train_steps is not None else 10
+        r = run_fusion_train_parity(steps=steps)
         print(json.dumps(r, indent=2))
         if args.report:
             with open(args.report, "w") as f:

@@ -260,3 +260,88 @@ def test_fusion_train_indivisible_batch_bf16(av_corpus, tmp_path):
     # params stay float32 even under bf16 compute
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.asarray(leaf).dtype == np.float32
+
+
+def test_video_group_embed_matches_per_clip_loop(tmp_path):
+    """_video_group_embed on a dense padded (B, G, T, H, W) batch must equal
+    the reference's per-clip batch-1 loop (train_fusion.py:268-275: embed
+    each clip unpadded, time-mean, then group-mean) — exact ragged parity
+    comes from zeroing pad frames post-transform (r3 fix,
+    ops/video.py:mask_pad_frames). Also covers empty groups (bad pairs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeplip_tpu.ops import video as V
+
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=3,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(),
+        video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
+        crop_size=(32, 32), exp_root=str(tmp_path), log_time="g0",
+    )
+    trainer.init_encoders()
+
+    rng = np.random.default_rng(1)
+    b, g, t, hw = 3, 2, 8, 36
+    clips_u8 = rng.integers(0, 256, (b, g, t, hw, hw), np.uint8)
+    clip_lengths = np.array([[8, 5], [6, 0], [0, 0]], np.int32)
+    group_sizes = np.array([2, 1, 0], np.int32)
+
+    em = np.asarray(trainer._video_group_embed(
+        jnp.asarray(clips_u8), jnp.asarray(clip_lengths),
+        jnp.asarray(group_sizes)))
+
+    model = trainer.video_model
+    for i in range(b):
+        if group_sizes[i] == 0:
+            continue  # masked later by the caller's `valid`
+        clip_means = []
+        for j in range(group_sizes[i]):
+            tj = int(clip_lengths[i, j])
+            xj = V.eval_transform(
+                jnp.asarray(clips_u8[i:i + 1, j, :tj]), (32, 32))[..., None]
+            fj = np.asarray(model.apply(
+                trainer.video_vars, xj, method=model.frame_features))
+            clip_means.append(fj[0].mean(axis=0))
+        ref = np.mean(clip_means, axis=0)
+        np.testing.assert_allclose(em[i], ref, rtol=0, atol=2e-5)
+
+
+def test_dead_head_params_receive_no_updates(tmp_path):
+    """torch skips grad-None params entirely; LowFER's U/V are dead in the
+    live output path (MFB overwritten, LBP.py:48-51) and must stay
+    bit-frozen through optimizer steps — weight decay included (r3 fix,
+    exposed by --train-parity-fusion). The gate projection (our documented
+    extension for d1 != d2) IS live and must train."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, TINY_VIDEO_CFG, n_spk=3,
+        audio_data_opts=AUDIO_DATA, mesh=make_mesh(), lr=0.1,
+        weight_decay=1e-2,  # large wd so an unmasked decay would show
+        video_hidden_dim=8, video_trunk_layers=(1, 1, 1, 1),
+        crop_size=(32, 32), exp_root=str(tmp_path), log_time="m0",
+    )
+    mask = trainer._live_head_param_mask()
+    assert mask["U"] is False and mask["V"] is False
+    assert all(v for v in jax.tree_util.tree_leaves(mask["gate_proj"]))
+
+    trainer.init_encoders()
+    state = trainer.ensure_state()
+    u0 = np.asarray(state.params["fusion"]["U"]).copy()
+    rng = np.random.default_rng(0)
+    pcm = jnp.asarray(rng.standard_normal((4, 8000)), jnp.float32)
+    clips = jnp.asarray(rng.integers(0, 256, (4, 1, 6, 36, 36)), jnp.uint8)
+    clip_lengths = jnp.asarray([[6], [4], [6], [5]], jnp.int32)
+    group_sizes = jnp.asarray([1, 1, 1, 1], jnp.int32)
+    labels = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    for k in range(2):
+        state, _ = trainer._train_step(
+            state, pcm, clips, clip_lengths, group_sizes, labels)
+    assert np.array_equal(np.asarray(state.params["fusion"]["U"]), u0)
+    # live params did move
+    g0 = trainer.state  # unused; keep state referenced
+    changed = np.abs(np.asarray(
+        state.params["criterion"]["fc"]["kernel"])).max()
+    assert changed > 0

@@ -231,3 +231,31 @@ def test_multibranch_tcn_deep_dilation_train_mode():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in flat)
     assert any(float(jnp.abs(l).max()) > 0 for l in flat)
+
+
+def test_padded_batch_frame_features_equal_per_clip():
+    """Ragged-batch parity (r3 fix): with pad frames zeroed AFTER the
+    transform (ops/video.py:mask_pad_frames), a padded batch's frame
+    features equal per-clip unpadded extraction exactly — a zeroed pad
+    frame contributes what the frontend conv's own temporal zero padding
+    would (the reference embeds clips unpadded at batch 1,
+    train_fusion.py:268-274). Before the fix, pad frames carried
+    (0/255-mean)/std = -2.55 and leaked into the last 2 valid frames."""
+    from deeplip_tpu.ops import video as V
+
+    net = _tiny_lipreading(extract_feats=True)
+    rng = np.random.default_rng(0)
+    t_max, hw = 9, 36
+    clips_u8 = rng.integers(0, 256, (3, t_max, hw, hw), np.uint8)
+    lengths = np.array([9, 5, 7], np.int32)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 2, 32, 32, 1), jnp.float32))
+
+    x = V.eval_transform(jnp.asarray(clips_u8), (32, 32))[..., None]
+    x = V.mask_pad_frames(x, jnp.asarray(lengths))
+    feats_pad = np.asarray(net.apply(variables, x, method=net.frame_features))
+
+    for i, t in enumerate(lengths):
+        xi = V.eval_transform(jnp.asarray(clips_u8[i:i + 1, :t]), (32, 32))[..., None]
+        fi = np.asarray(net.apply(variables, xi, method=net.frame_features))
+        np.testing.assert_allclose(feats_pad[i, :t], fi[0], rtol=0, atol=2e-5)

@@ -72,3 +72,21 @@ def test_train_parity_video_f64_10_steps():
     assert r["max_loss_abs_diff"] <= 1e-7, r
     assert r["final_param_max_drift"] <= 1e-7, r
     assert r["final_batch_stats_max_drift"] <= 1e-7, r
+
+
+def test_train_parity_fusion_f64_6_steps():
+    """Fusion train-STEP parity (r3): 6 SGD updates of the reference fusion
+    recipe (frozen eval-mode encoders, LowFER gated concat, CE criterion,
+    SGD 0.5/0.9/wd 1e-5, MultiStep [4], bad-pair masking) from the same
+    init on the same raw PCM + uint8 clips, torch-CPU vs
+    FusionTrainer._train_step — f64. Also asserts the dead-parameter
+    semantics this harness exposed: LowFER's U/V receive no gradient
+    (MFB overwritten, LBP.py:48-51), so like torch's grad-None skip they
+    must stay BIT-frozen (an unmasked optax chain would weight-decay
+    them)."""
+    from parity_check import run_fusion_train_parity
+
+    r = run_fusion_train_parity(steps=6)
+    assert r["max_loss_abs_diff"] <= 1e-4, r
+    assert r["final_param_max_drift"] <= 1e-5, r
+    assert r["dead_param_max_drift"] == 0.0, r
