@@ -60,7 +60,8 @@ def build_video_map(manifest: SpeakerManifest, video_root: str) -> dict:
     return video_map
 
 
-def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
+def make_trainer(cfg, exp_root: str, log_time: str | None,
+                 mode: str = "train") -> FusionTrainer:
     model_opts = cfg.model
     train_opts = cfg.train
     video_tcn = dict(model_opts.video_config.tcn)
@@ -124,7 +125,31 @@ def make_trainer(cfg, exp_root: str, log_time: str | None) -> FusionTrainer:
     video_resume = _resolve(train_opts.get("video_config", {}).get("resume"),
                             "video")
     trainer.init_encoders()
-    trainer.load_encoders(audio_resume, video_resume)
+    # reference encoder checkpoints are torch ``.pth`` files
+    # (train_fusion.py:191-196); ours are orbax dirs — dispatch by suffix
+    # so a migrating user can point ``resume`` straight at the reference's
+    # pretrained_models/*.pth
+    def _is_pth(p):
+        return p is not None and p.endswith(".pth")
+
+    if _is_pth(audio_resume) or _is_pth(video_resume):
+        trainer.load_torch_encoders(
+            audio_resume if _is_pth(audio_resume) else None,
+            video_resume if _is_pth(video_resume) else None)
+    trainer.load_encoders(
+        None if _is_pth(audio_resume) else audio_resume,
+        None if _is_pth(video_resume) else video_resume)
+    # trained-fusion-head resume (reference ``resume_fusion``,
+    # train_fusion.py:127-129,203-208 — loaded there only in av_fusion
+    # mode; we honor it for every eval mode since our test path can
+    # actually use the head via test.use_fusion_head)
+    if mode != "train":
+        fusion_resume = _resolve(train_opts.get("resume"), "fusion head")
+        if fusion_resume is not None:
+            if _is_pth(fusion_resume):
+                trainer.load_torch_fusion_head(fusion_resume)
+            else:
+                trainer.load_head_checkpoint(fusion_resume)
     return trainer
 
 
@@ -314,7 +339,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     cfg = load_fusion_config(args.config)
-    trainer = make_trainer(cfg, args.exp_root, args.log_time)
+    trainer = make_trainer(cfg, args.exp_root, args.log_time, mode=args.mode)
 
     if args.mode == "train":
         manifest = trainer._manifest

@@ -361,3 +361,126 @@ def load_reference_video_checkpoint(path: str, layers=(2, 2, 2, 2)) -> tuple[dic
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt)
     return import_lipreading_state_dict(state_dict, layers)
+
+
+# ---------------------------------------------------------------------------
+# fusion head (LowFER) + criterion import
+# ---------------------------------------------------------------------------
+
+def import_lowfer_state_dict(state_dict: Mapping[str, Any],
+                             float_dtype=np.float32) -> dict:
+    """Reference ``LowFER`` weights (``LBP.py:12-15``: U, V) -> our params."""
+    sd = _clean_state_dict(state_dict, float_dtype)
+    return {"U": sd["U"], "V": sd["V"]}
+
+
+def import_criterion_state_dict(state_dict: Mapping[str, Any],
+                                float_dtype=np.float32) -> dict | None:
+    """Criterion weights -> our criterion params.
+
+    Handles both reference criterion families (``loss.py``): CrossEntropy
+    (``fc.weight``/``fc.bias`` -> Dense kernel/bias) and LMCL
+    (``weights``). Returns None for an empty/unrecognized state dict.
+    """
+    sd = _clean_state_dict(state_dict, float_dtype)
+    if "fc.weight" in sd:
+        out = {"fc": {"kernel": np.ascontiguousarray(sd["fc.weight"].T)}}
+        if "fc.bias" in sd:
+            out["fc"]["bias"] = sd["fc.bias"]
+        return out
+    if "weights" in sd:
+        return {"weights": sd["weights"]}
+    return None
+
+
+def _tolerant_torch_load(path: str):
+    """torch.load that survives unpicklable classes.
+
+    Reference fusion checkpoints embed the WHOLE criterion module object
+    (``train_fusion.py:177-179`` pickles ``self.criterion``), whose class
+    lives in the reference package — absent here, a plain ``torch.load``
+    raises ModuleNotFoundError before any tensor is read. Substitute
+    unknown classes with attribute-bag stubs so the tensors (and any
+    ``_parameters`` dicts inside stubbed modules) are still recovered.
+    """
+    import pickle
+    import types
+
+    import torch
+
+    class _Stub:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            else:
+                self.__dict__["_state"] = state
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except Exception:
+                return type(name, (_Stub,), {"__module__": module})
+
+    shim = types.ModuleType("deeplip_tolerant_pickle")
+    shim.Unpickler = _Unpickler
+    shim.Pickler = pickle.Pickler
+    shim.load = pickle.load
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=shim)
+
+
+def _criterion_state_from_object(obj) -> dict:
+    """Best-effort ``state_dict()`` from a real or stubbed torch module."""
+    if hasattr(obj, "state_dict"):
+        try:
+            return dict(obj.state_dict())
+        except Exception:
+            pass
+    # stubbed nn.Module: walk _parameters/_buffers/_modules by hand
+    out: dict[str, Any] = {}
+
+    def walk(node, prefix=""):
+        d = getattr(node, "__dict__", {})
+        for k, v in (d.get("_parameters") or {}).items():
+            if v is not None:
+                out[prefix + k] = v
+        for k, v in (d.get("_buffers") or {}).items():
+            if v is not None and "running" not in k:
+                out[prefix + k] = v
+        for k, v in (d.get("_modules") or {}).items():
+            if v is not None:
+                walk(v, prefix + k + ".")
+
+    walk(obj)
+    return out
+
+
+def load_reference_fusion_checkpoint(
+    path: str, float_dtype=np.float32,
+) -> tuple[dict, dict | None]:
+    """torch.load a reference fusion ``net_*.pth`` / ``net_avg.pth``
+    (``train_fusion.py:177-179``: ``state_dict`` = LowFER U/V,
+    ``criterion`` = the pickled criterion module) and convert.
+
+    Returns ``(head_params, criterion_params_or_None)``. The criterion
+    object is recovered even when its class can't be imported (see
+    :func:`_tolerant_torch_load`); if its weights can't be identified,
+    ``None`` is returned and the caller keeps its initialized criterion.
+    """
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        ckpt = _tolerant_torch_load(path)
+    head = import_lowfer_state_dict(ckpt.get("state_dict", ckpt), float_dtype)
+    crit_params = None
+    crit = ckpt.get("criterion") if isinstance(ckpt, dict) else None
+    if crit is not None:
+        try:
+            crit_params = import_criterion_state_dict(
+                _criterion_state_from_object(crit), float_dtype)
+        except Exception:
+            crit_params = None
+    return head, crit_params

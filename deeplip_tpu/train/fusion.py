@@ -238,6 +238,53 @@ class FusionTrainer:
             merged_s = {**self.video_vars["batch_stats"], **s}
             self.video_vars = {"params": merged_p, "batch_stats": merged_s}
 
+    def load_torch_fusion_head(self, fusion_pth: str) -> None:
+        """Load a trained fusion head (+ criterion when recoverable) from a
+        reference fusion checkpoint — ``net_*.pth`` / ``net_avg.pth``
+        (``train_fusion.py:177-179``: LowFER ``state_dict`` plus the
+        pickled criterion module; the criterion is recovered even without
+        the reference package importable). Requires ``fusion_head ==
+        'lowfer'``. The optimizer state stays fresh, matching our
+        restore-opt-in checkpoint semantics."""
+        if self.fusion_head_name != "lowfer":
+            raise NotImplementedError(
+                "reference fusion checkpoints hold LowFER U/V; construct "
+                "the trainer with fusion_head='lowfer' to import one")
+        from deeplip_tpu.interop.torch_import import (
+            load_reference_fusion_checkpoint,
+        )
+
+        head, crit = load_reference_fusion_checkpoint(fusion_pth)
+        state = self.ensure_state()
+        params = dict(state.params)
+        params["fusion"] = {**params["fusion"], **head}
+        if crit is not None:
+            params["criterion"] = jax.tree.map(lambda a: a, crit)
+        self.state = TrainState(
+            params=jax.device_put(params, replicated_sharding(self.mesh)),
+            batch_stats=state.batch_stats,
+            opt_state=self.tx.init(params),
+            step=state.step,
+        )
+
+    def load_head_checkpoint(self, path: str) -> None:
+        """Load a fusion-head checkpoint saved by this trainer (``save``),
+        given as ``exp_dir/tag`` like ``load_encoders`` — the analogue of
+        the reference ``Trainer.load`` (``train_fusion.py:180-188``), which
+        restores ``state_dict`` + epoch but deliberately leaves the
+        criterion/optimizer commented out (fresh optimizer state)."""
+        exp_dir, tag = os.path.split(str(path).rstrip("/"))
+        tree = ckpt.load_checkpoint(exp_dir, tag)
+        state = self.ensure_state()
+        params = jax.device_put(tree["params"], replicated_sharding(self.mesh))
+        self.state = TrainState(
+            params=params,
+            batch_stats=state.batch_stats,
+            opt_state=self.tx.init(params),
+            step=state.step,
+        )
+        self.current_epoch = int(tree.get("epoch", self.current_epoch))
+
     def _init_state(self, seed: int = 0) -> TrainState:
         if self.audio_vars is None:
             self.init_encoders(seed)

@@ -460,3 +460,88 @@ def test_cli_fusion_mixed_geometry_clips(tmp_path):
     _, video_b = extract_pairs(trainer, cfg_b, names, return_parts=True)
     for n in names:
         np.testing.assert_array_equal(video_a[n], video_b[n])
+
+
+def test_cli_fusion_head_resume(tmp_path):
+    """train.resume for the fusion head (reference resume_fusion,
+    train_fusion.py:127-129,203-208): eval-mode make_trainer must load a
+    reference ``.pth`` via the torch importer AND our own orbax ``net_<tag>``
+    checkpoints; train mode leaves the head fresh (the reference loads
+    resume_fusion only for evaluation — auto_resume handles train
+    continuation)."""
+    import torch
+
+    from deeplip_tpu.cli.train_fusion import make_trainer
+    from deeplip_tpu.core.config import load_fusion_config
+
+    cfg = {
+        "data": {
+            "frames": [30, 40],
+            "python_data_config": {
+                "rate": 16000, "feat_type": "mfcc",
+                "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                         "energy": True, "normalize": True, "delta": False,
+                         "win_len": 0.025, "win_shift": 0.01}},
+        },
+        "model": {
+            "audio_config": {"arch": "tdnn", "tdnn": {
+                "input_dim": 24, "hidden_dim": [16, 32],
+                "context": [[-2, -1, 0, 1, 2], [0]], "tdnn_layers": 2,
+                "embedding_dim": 8, "pooling": "statistic",
+                "attention_hidden_size": 4, "bn_first": True}},
+            "video_config": {"arch": "tcn", "tcn": {
+                "extract_feats": True, "backbone_type": "resnet",
+                "width_mult": 1.0, "relu_type": "prelu", "tcn_num_layers": 1,
+                "tcn_kernel_size": [3], "tcn_dropout": 0.2, "tcn_dwpw": False,
+                "tcn_width_mult": 1}},
+        },
+        "train": {"optimizer": "sgd", "bs": 4, "n_spk": 2,
+                  "lr_decay_step": [4, 8], "lr_decay": 0.1, "epoch": 1,
+                  "loss": "CrossEntropy", "max_clips": 1, "clip_frames": 4,
+                  "sgd": {"init_lr": 0.5, "weight_decay": 1e-5,
+                          "momentum": 0.9},
+                  "resume": "None",
+                  "audio_config": {"resume": "None"},
+                  "video_config": {"resume": "None"}},
+        "test": {"eval_grid": False, "eval_lomgrid": False},
+    }
+    cfg_path = str(tmp_path / "fusion.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    t0 = make_trainer(load_fusion_config(cfg_path), str(tmp_path / "exp"),
+                      "hr0", mode="av_fusion")
+    fusion0 = t0.ensure_state().params["fusion"]
+    rng = np.random.default_rng(7)
+    # the reference checkpoint's state_dict holds exactly LowFER's U/V
+    # (LBP.py:12-15)
+    sd = {k: torch.tensor(rng.uniform(-1, 1, np.shape(fusion0[k])),
+                          dtype=torch.float32)
+          for k in ("U", "V")}
+    pth = str(tmp_path / "net_avg.pth")
+    torch.save({"epoch": 5, "state_dict": sd}, pth)
+
+    cfg["train"]["resume"] = pth
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    t1 = make_trainer(load_fusion_config(cfg_path), str(tmp_path / "exp"),
+                      "hr1", mode="av_fusion")
+    got = t1.ensure_state().params["fusion"]
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(got[k]), sd[k].numpy())
+
+    # train mode: resume_fusion is an eval-only input in the reference
+    t2 = make_trainer(load_fusion_config(cfg_path), str(tmp_path / "exp"),
+                      "hr2", mode="train")
+    for k in sd:
+        assert not np.array_equal(
+            np.asarray(t2.ensure_state().params["fusion"][k]), sd[k].numpy())
+
+    # our own orbax checkpoint via the same config key
+    t1.current_epoch = 1
+    t1.save(1)
+    cfg["train"]["resume"] = os.path.join(t1.exp_dir, "net_1")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    t3 = make_trainer(load_fusion_config(cfg_path), str(tmp_path / "exp"),
+                      "hr3", mode="test")
+    got3 = t3.ensure_state().params["fusion"]
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(got3[k]), sd[k].numpy())
+    assert t3.current_epoch == 1

@@ -239,3 +239,71 @@ def test_trainer_load_torch_checkpoint(tmp_path):
         method=trainer.model.extract_embedding,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_fusion_head_checkpoint_import_without_reference_package(tmp_path):
+    """Reference fusion checkpoints pickle the WHOLE criterion module
+    (train_fusion.py:177-179); without the reference package importable a
+    plain torch.load dies on ModuleNotFoundError before any tensor is
+    read. load_reference_fusion_checkpoint must still recover the LowFER
+    U/V AND the criterion weights via the tolerant unpickler, and
+    FusionTrainer.load_torch_fusion_head must wire them into the state."""
+    import os
+    import sys
+    import textwrap
+
+    import torch
+
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.interop.torch_import import load_reference_fusion_checkpoint
+    from deeplip_tpu.train.fusion import FusionTrainer
+
+    d1, d2, o, k, n_spk = 24, 512, 24, 30, 3
+    # criterion class from a throwaway module, removed before loading —
+    # exactly the "reference package not installed" situation
+    mod_path = tmp_path / "refpkg_tmp.py"
+    mod_path.write_text(textwrap.dedent("""
+        import torch.nn as nn
+        class CE(nn.Module):
+            def __init__(self, din, n):
+                super().__init__()
+                self.fc = nn.Linear(din, n)
+    """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import refpkg_tmp
+
+        crit = refpkg_tmp.CE(3 * d1, n_spk)
+        rng = np.random.default_rng(0)
+        sd = {"U": torch.tensor(rng.uniform(-1, 1, (d1, k * o)), dtype=torch.float32),
+              "V": torch.tensor(rng.uniform(-1, 1, (d2, k * o)), dtype=torch.float32)}
+        torch.save({"epoch": 3, "state_dict": sd, "criterion": crit},
+                   str(tmp_path / "net_3.pth"))
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("refpkg_tmp", None)
+    os.remove(mod_path)
+
+    head, crit_params = load_reference_fusion_checkpoint(str(tmp_path / "net_3.pth"))
+    np.testing.assert_array_equal(head["U"], sd["U"].numpy())
+    np.testing.assert_array_equal(head["V"], sd["V"].numpy())
+    assert crit_params is not None
+    np.testing.assert_allclose(crit_params["fc"]["kernel"],
+                               crit.fc.weight.detach().numpy().T)
+    np.testing.assert_allclose(crit_params["fc"]["bias"],
+                               crit.fc.bias.detach().numpy())
+
+    from tests.test_fusion_e2e import AUDIO_DATA, TINY_AUDIO_MODEL, TINY_VIDEO_CFG
+
+    trainer = FusionTrainer(
+        TINY_AUDIO_MODEL, Config(dict(TINY_VIDEO_CFG)), n_spk=n_spk,
+        audio_data_opts=AUDIO_DATA, video_hidden_dim=8,
+        video_trunk_layers=(1, 1, 1, 1), crop_size=(32, 32),
+        exp_root=str(tmp_path), log_time="imp0")
+    trainer.init_encoders()
+    trainer.load_torch_fusion_head(str(tmp_path / "net_3.pth"))
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["fusion"]["U"]), sd["U"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.params["criterion"]["fc"]["kernel"]),
+        crit.fc.weight.detach().numpy().T)
