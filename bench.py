@@ -331,6 +331,19 @@ def _supervise():
     """
     import subprocess
 
+    def _die_with_parent():
+        # PR_SET_PDEATHSIG: if the supervisor is killed (driver timeout,
+        # SIGTERM), take the measurement child down too — an orphaned bench
+        # would keep the single TPU tunnel busy for up to 2400 s and corrupt
+        # whatever runs next (CLAUDE.md: concurrent TPU processes contend)
+        try:
+            import ctypes
+            import signal as _sig
+
+            ctypes.CDLL(None, use_errno=True).prctl(1, _sig.SIGKILL)
+        except Exception:
+            pass
+
     delays = (0, 60, 240, 600)  # seconds before each of 4 attempts
     last_out = ""
     for attempt, delay in enumerate(delays, 1):
@@ -341,14 +354,17 @@ def _supervise():
             time.sleep(delay)
         env = dict(os.environ, DEEPLIP_BENCH_INNER="1")
         try:
+            # stderr is inherited (streams live — progress stays visible
+            # even if the attempt later times out); only stdout, which
+            # carries the JSON line, is captured
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=2400)
+                env=env, stdout=subprocess.PIPE, text=True, timeout=2400,
+                preexec_fn=_die_with_parent)
         except subprocess.TimeoutExpired:
             print(f"bench: attempt {attempt} timed out after 2400s",
                   file=sys.stderr, flush=True)
             continue
-        sys.stderr.write(proc.stderr)
         last_out = proc.stdout
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())

@@ -114,16 +114,16 @@ def make_trainer(cfg, exp_root: str, log_time: str | None,
         if resume in (None, "", "None", "null", "~"):
             return None
         if not os.path.exists(str(resume)):
-            # a mistyped encoder path must fail loudly: frozen random
-            # encoders would produce plausible-looking but meaningless EERs
+            # a mistyped path must fail loudly: frozen random encoders (or
+            # a fresh head) would produce plausible but meaningless EERs
             raise FileNotFoundError(
-                f"{which} encoder checkpoint not found: {resume}")
+                f"{which} checkpoint not found: {resume}")
         return str(resume)
 
     audio_resume = _resolve(train_opts.get("audio_config", {}).get("resume"),
-                            "audio")
+                            "audio encoder")
     video_resume = _resolve(train_opts.get("video_config", {}).get("resume"),
-                            "video")
+                            "video encoder")
     trainer.init_encoders()
     # reference encoder checkpoints are torch ``.pth`` files
     # (train_fusion.py:191-196); ours are orbax dirs — dispatch by suffix

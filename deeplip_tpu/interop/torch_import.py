@@ -389,7 +389,7 @@ def import_criterion_state_dict(state_dict: Mapping[str, Any],
             out["fc"]["bias"] = sd["fc.bias"]
         return out
     if "weights" in sd:
-        return {"weights": sd["weights"]}
+        return import_lmcl_state_dict(state_dict, float_dtype)
     return None
 
 

@@ -108,9 +108,12 @@ def mask_pad_frames(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     (``train_fusion.py:268-274``, ``train_video.py:99-106``): a zeroed pad
     frame contributes exactly what the conv's own zero padding would.
 
-    ``lengths == 0`` rows (mesh-divisibility padding, which replicates a
-    real row's pixels so train-mode BN statistics see no blank images —
-    see ``train/video.py``) are left untouched.
+    ``lengths == 0`` rows are left untouched (full length) — callers that
+    carry length-0 mesh-padding rows must substitute the source row's real
+    length instead (the video trainer replicates row 0 and masks with
+    ``where(lengths > 0, lengths, lengths[0])``, ``train/video.py:
+    _step_math``), or the replica's raw pads would enter train-mode BN
+    statistics at ~-2.55.
     """
     t = x.shape[1]
     eff = jnp.where(lengths > 0, lengths, t)

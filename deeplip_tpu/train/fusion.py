@@ -259,7 +259,7 @@ class FusionTrainer:
         params = dict(state.params)
         params["fusion"] = {**params["fusion"], **head}
         if crit is not None:
-            params["criterion"] = jax.tree.map(lambda a: a, crit)
+            params["criterion"] = crit
         self.state = TrainState(
             params=jax.device_put(params, replicated_sharding(self.mesh)),
             batch_stats=state.batch_stats,

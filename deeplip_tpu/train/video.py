@@ -107,9 +107,12 @@ class VideoTrainer:
         # zero temporal padding AFTER the transform — the reference's
         # collate pads zeros post-transform (dataset.py:123-139), not
         # -2.55-valued normalized black frames (see ops/video.py:
-        # mask_pad_frames); length-0 mesh-pad rows keep their replicated
-        # pixels for BN statistics
-        x = V.mask_pad_frames(x, lengths)
+        # mask_pad_frames). Length-0 mesh-pad rows replicate row 0's
+        # pixels (train() below), so mask them with row 0's length: their
+        # pad frames zero out exactly like the source row's, and BN batch
+        # statistics see only duplicated real rows — never the ~-2.55
+        # normalized-black pads
+        x = V.mask_pad_frames(x, jnp.where(lengths > 0, lengths, lengths[0]))
         return self._step_from_frames(state, x, lengths, labels, kd)
 
     def _step_from_frames(self, state: TrainState, x, lengths, labels, kd):

@@ -734,8 +734,6 @@ def run_fusion_train_parity(steps=10, bs=4, g=2, t_clip=5, hw=48,
         return tnet_v.trunk(h)
 
     torch_losses = []
-    with torch.no_grad():
-        pass
     for k in range(steps):
         opt.zero_grad()
         with torch.no_grad():

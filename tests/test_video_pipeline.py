@@ -253,3 +253,45 @@ def test_pad_rows_masked_out_of_loss(video_corpus, tmp_path):
     la, aa = padded(0)
     lb, ab = padded(2)
     assert la == lb and aa == ab
+
+
+def test_mesh_pad_rows_mask_like_their_source(tmp_path):
+    """Mesh-divisibility pad rows carry length 0 but replicate row 0's
+    pixels (train/video.py:train); _step_math must mask them with row 0's
+    LENGTH too, or row 0's uint8-zero pad frames enter train-mode BN batch
+    statistics unmasked at ~-2.55 post-normalize (r3 review finding) —
+    the exact artifact mask_pad_frames exists to remove."""
+
+    def make(tag):
+        return VideoTrainer(
+            TINY_VIDEO_CFG, num_classes=3, mesh=make_mesh(),
+            crop_size=(32, 32), exp_root=str(tmp_path / f"exp{tag}"),
+            log_time=f"mp{tag}", hidden_dim=12, trunk_layers=(1, 1, 1, 1))
+
+    rng = np.random.default_rng(3)
+    t = 4
+    clips = rng.integers(1, 255, (8, t, 32, 32)).astype(np.uint8)
+    clips[0, 2:] = 0  # row 0 is ragged: frames >= its length are u8 zeros
+    clips[4:] = clips[0]  # rows 4-7: mesh-pad replicas of row 0
+    labels = np.array([0, 1, 2, 1, 0, 0, 0, 0], np.int32)
+    key = jax.random.PRNGKey(11)
+
+    # A: the production batch (replicas carry length 0)
+    lengths_a = np.array([2, t, 3, t, 0, 0, 0, 0], np.int32)
+    ta = make("a")
+    state_a, _ = ta._train_step(ta.ensure_state(), clips, lengths_a, labels, key)
+
+    # B: the same pixels with the replicas explicitly masked like row 0
+    lengths_b = np.array([2, t, 3, t, 2, 2, 2, 2], np.int32)
+    tb = make("b")
+    state_b, _ = tb._train_step(tb.ensure_state(), clips, lengths_b, labels, key)
+
+    # BN layers see only x (full T, before any length masking), so batch
+    # statistics must be bit-equal iff the replicas' pad frames were zeroed
+    flat_a = jax.tree_util.tree_flatten_with_path(state_a.batch_stats)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(state_b.batch_stats)[0]
+    assert flat_a and len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(pa))
