@@ -86,17 +86,16 @@ def test_bench_supervisor_retries_transient_failure(monkeypatch):
 
     calls = []
 
-    def fake_run(cmd, env=None, capture_output=None, text=None, timeout=None):
+    def fake_run(cmd, env=None, timeout=None, **kwargs):
+        # accepts the supervisor's real kwargs (stdout=PIPE, text,
+        # preexec_fn) loosely so signature drift can't silently break it
         calls.append(cmd)
         if len(calls) < 3:  # two transient tunnel failures...
-            return types.SimpleNamespace(
-                returncode=1, stdout="",
-                stderr="FAILED_PRECONDITION: tunnel unavailable\n")
+            return types.SimpleNamespace(returncode=1, stdout="")
         return types.SimpleNamespace(  # ...then a clean measurement
             returncode=0,
             stdout='warmup noise\n{"metric": "verification_trials_per_sec",'
-                   ' "value": 42.0, "unit": "trials/sec", "vs_baseline": 1.0}\n',
-            stderr="")
+                   ' "value": 42.0, "unit": "trials/sec", "vs_baseline": 1.0}\n')
 
     sleeps = []
     monkeypatch.setattr("subprocess.run", fake_run)
