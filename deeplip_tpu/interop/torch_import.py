@@ -476,6 +476,10 @@ def load_reference_fusion_checkpoint(
         ckpt = _tolerant_torch_load(path)
     head = import_lowfer_state_dict(ckpt.get("state_dict", ckpt), float_dtype)
     crit_params = None
+    if isinstance(ckpt, dict) and ckpt.get("criterion_state_dict") is not None:
+        # our own torch_export container: criterion weights as a plain dict
+        return head, import_criterion_state_dict(
+            ckpt["criterion_state_dict"], float_dtype)
     crit = ckpt.get("criterion") if isinstance(ckpt, dict) else None
     if crit is not None:
         try:

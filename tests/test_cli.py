@@ -545,3 +545,40 @@ def test_cli_fusion_head_resume(tmp_path):
     for k in sd:
         np.testing.assert_array_equal(np.asarray(got3[k]), sd[k].numpy())
     assert t3.current_epoch == 1
+
+
+def test_cli_export_torch_audio_roundtrip(tmp_path):
+    """export_torch audio: orbax net_<tag> -> reference .pth, re-importable
+    bit-equal with epoch + criterion preserved."""
+    import torch  # noqa: F401  (export needs torch)
+
+    from deeplip_tpu.cli.export_torch import main as export_main
+    from deeplip_tpu.interop.torch_import import load_reference_audio_checkpoint
+    from deeplip_tpu.train import checkpoint as ckpt
+    from tests.test_torch_export import _init_audio_model
+
+    _, params, stats = _init_audio_model()
+    rng = np.random.default_rng(1)
+    crit = {"weights": rng.standard_normal((5, 32)).astype(np.float32)}
+    exp_dir = str(tmp_path / "exp")
+    ckpt.save_checkpoint(exp_dir, "avg", {
+        "epoch": 3,
+        "params": {"model": params, "criterion": crit},
+        "batch_stats": {"model": stats},
+    })
+
+    out = str(tmp_path / "net_avg.pth")
+    export_main(["audio", "--checkpoint", os.path.join(exp_dir, "net_avg"),
+                 "--out", out])
+
+    params2, stats2 = load_reference_audio_checkpoint(out, n_blocks=5)
+    import jax
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 params, params2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 stats, stats2)
+    loaded = torch.load(out, map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 3
+    np.testing.assert_array_equal(
+        loaded["criterion_state_dict"]["weights"].numpy(), crit["weights"])
