@@ -142,6 +142,45 @@ def export_lowfer_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]
     return {"U": _np(params["U"]), "V": _np(params["V"])}
 
 
+def export_shufflenet_trunk_state_dict(
+    params: Mapping[str, Any], stats: Mapping[str, Any],
+    prefix: str = "trunk.0.",
+) -> dict[str, np.ndarray]:
+    """Inverse of :func:`torch_import.import_shufflenet_trunk_state_dict`:
+    our ``ShuffleNetV2Trunk`` tree -> the reference
+    ``Sequential(features, conv_last)`` layout (``shufflenetv2.py:52-89``:
+    ``banch1`` = dw/bn/pw/bn/relu, ``banch2`` = pw/bn/relu/dw/bn/pw/bn/relu)."""
+    out: dict[str, np.ndarray] = {}
+
+    def conv_bn(up, us, ours, seq, idx):
+        _conv2d(out, f"{seq}.{idx}", up[f"{ours}_conv"])
+        _bn(out, f"{seq}.{idx + 1}", up[f"{ours}_bn"], us[f"{ours}_bn"])
+
+    units = sorted(
+        (k for k in params if k.startswith("stage")),
+        key=lambda k: (int(k[len("stage"):k.index("_")]),
+                       int(k.split("unit")[1])))
+    for unit_idx, name in enumerate(units):
+        up, us = params[name], stats[name]
+        ref = f"{prefix}{unit_idx}"
+        if "l_dw_conv" in up:  # stride-2 unit
+            conv_bn(up, us, "l_dw", f"{ref}.banch1", 0)
+            conv_bn(up, us, "l_pw", f"{ref}.banch1", 2)
+            conv_bn(up, us, "r_pw1", f"{ref}.banch2", 0)
+            conv_bn(up, us, "r_dw", f"{ref}.banch2", 3)
+            conv_bn(up, us, "r_pw2", f"{ref}.banch2", 5)
+        else:
+            conv_bn(up, us, "pw1", f"{ref}.banch2", 0)
+            conv_bn(up, us, "dw", f"{ref}.banch2", 3)
+            conv_bn(up, us, "pw2", f"{ref}.banch2", 5)
+    if "conv_last_conv" in params:
+        last = (prefix.rsplit(".", 2)[0] + ".1" if prefix.endswith("0.")
+                else "conv_last")
+        _conv2d(out, f"{last}.0", params["conv_last_conv"])
+        _bn(out, f"{last}.1", params["conv_last_bn"], stats["conv_last_bn"])
+    return out
+
+
 def _export_tcn(params: Mapping[str, Any], stats: Mapping[str, Any],
                 out: dict) -> None:
     """Inverse of ``torch_import._import_tcn`` (multibranch
@@ -200,11 +239,14 @@ def export_lipreading_state_dict(
 
     trunk_p = params.get("trunk", {})
     trunk_s = batch_stats.get("trunk", {})
+    if any(k.startswith("stage") or k.startswith("conv_last") for k in trunk_p):
+        out.update(export_shufflenet_trunk_state_dict(trunk_p, trunk_s))
+        trunk_p = {}
     for name, bp in trunk_p.items():
         if not name.startswith("layer"):
             raise ValueError(
-                f"unsupported trunk entry {name!r}: only the ResNet trunk "
-                "layout exports (ShuffleNetV2 export is not implemented)")
+                f"unsupported trunk entry {name!r}: expected the ResNet "
+                "(layer{s}_block{i}) or ShuffleNetV2 (stage{s}_unit{i}) layout")
         stage, block = name.split("_block")
         ref = f"trunk.{stage}.{int(block)}"
         bs = trunk_s.get(name, {})

@@ -217,3 +217,47 @@ def test_fusion_checkpoint_save_load(tmp_path):
                  head, head2)
     np.testing.assert_array_equal(crit2["fc"]["kernel"], crit["fc"]["kernel"])
     np.testing.assert_array_equal(crit2["fc"]["bias"], crit["fc"]["bias"])
+
+
+def test_shufflenet_export_strict_load_and_roundtrip():
+    """ShuffleNetV2 trunk export: torch strict-load + forward parity, and
+    export->import bit-equal round-trip."""
+    torch = pytest.importorskip("torch")
+    import deeplip_tpu.models.shufflenetv2 as sv2
+    from deeplip_tpu.interop.torch_export import export_shufflenet_trunk_state_dict
+    from deeplip_tpu.interop.torch_import import import_shufflenet_trunk_state_dict
+    from deeplip_tpu.models.shufflenetv2 import ShuffleNetV2Trunk
+    from tests.test_shufflenet_import import _torch_shufflenet_trunk
+
+    widths = (16, 32, 64, 48)
+    orig = sv2._STAGE_CHANNELS[1.0]
+    sv2._STAGE_CHANNELS[1.0] = widths
+    try:
+        model = ShuffleNetV2Trunk(width_mult=1.0)
+        variables = model.init(jax.random.PRNGKey(4),
+                               jnp.zeros((1, 24, 24, 24)))
+        params = variables["params"]
+        stats = _randomized_stats(variables["batch_stats"], seed=13)
+
+        sd = export_shufflenet_trunk_state_dict(params, stats)
+        tnet = _torch_shufflenet_trunk(torch, widths)
+        tnet.load_state_dict({k: torch.from_numpy(np.array(v, copy=True))
+                              for k, v in sd.items()}, strict=True)
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 24, 24, 24)).astype(np.float32)  # NHWC
+        with torch.no_grad():
+            want = tnet(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+        params2, stats2 = import_shufflenet_trunk_state_dict(sd)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            dict(params), params2)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            dict(stats), stats2)
+    finally:
+        sv2._STAGE_CHANNELS[1.0] = orig
