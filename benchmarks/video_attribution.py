@@ -452,11 +452,31 @@ def main():
             s = self.param("shift", nn.initializers.zeros, ())
             return _max_pool_phases(jnp, jax)(x + s.astype(x.dtype))
 
+    class PoolVjpTrunk(nn.Module):
+        """pool_trunk with the equality-routing VJP instead of S&S: the
+        custom backward loses standalone (28.0 vs 16.0 ms) but the +36 ms
+        pool_trunk composition gap was only ever measured THROUGH
+        SelectAndScatter — if the gap is S&S-specific scheduling, trading
+        +12 ms standalone for -36 ms composition is a net win."""
+
+        dtype: jnp.dtype
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            s = self.param("shift", nn.initializers.zeros, ())
+            x = _max_pool_custom_vjp(jax, jnp)(x + s)
+            b, t = x.shape[:2]
+            x = x.reshape((b * t,) + x.shape[2:])
+            return ResNetTrunk(dtype=self.dtype, name="trunk")(x, train=train)
+
     bench_train("fe_s1", FeS1(dtype=dtype), x88, group="fe_trunk")
-    if not only or {"pool_trunk", "fe_trunk", "maxpool_phases"} & only:
+    if not only or {"pool_trunk", "fe_trunk", "maxpool_phases",
+                    "poolvjp_trunk"} & only:
         x44 = jnp.asarray(rng.standard_normal((batch, T, 44, 44, 64)), dtype)
         bench_train("pool_trunk", PoolTrunk(dtype=dtype), x44,
                     group="fe_trunk")
+        bench_train("poolvjp_trunk", PoolVjpTrunk(dtype=dtype), x44,
+                    group="poolvjp_trunk")
         bench_train("maxpool_phases", MaxPoolPhases(), x44, has_stats=False,
                     group="maxpool_phases")
         bench_train("poolphases_trunk", PoolPhasesTrunk(dtype=dtype), x44,

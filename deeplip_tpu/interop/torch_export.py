@@ -90,6 +90,12 @@ def export_speaker_embnet_state_dict(
     """
     out: dict[str, np.ndarray] = {}
     n_blocks = sum(1 for k in params if k.startswith("tdnn_"))
+    if n_blocks == 0:
+        raise ValueError(
+            "not a SpeakerEmbNet (TDNN/E-TDNN) param tree: no tdnn_{i} "
+            "blocks. Only the TDNN family exports — the reference defines "
+            "no checkpoint consumers for its 2D-CNN arch "
+            "(train_audio.py:258: extraction unimplemented for it)")
     for i in range(n_blocks):
         blk = params[f"tdnn_{i}"]
         _conv1d(out, f"tdnn.{i}.context_layer", blk["conv"])
