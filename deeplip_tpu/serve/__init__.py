@@ -1,0 +1,12 @@
+"""Online serving: speaker verification/identification from a trained model.
+
+The reference has no serving surface — its verification workflow is
+offline (extract embeddings to ``exp/<t>/test_xv*/**.npy``, then score a
+trial file; ``train_audio.py:484-544``). :class:`SpeakerVerifier` wraps the
+same extraction + cosine machinery as an enroll/verify/identify API for
+production use on TPU.
+"""
+
+from deeplip_tpu.serve.verifier import SpeakerVerifier, VerifyResult
+
+__all__ = ["SpeakerVerifier", "VerifyResult"]

@@ -1,0 +1,110 @@
+"""Serving API: SpeakerVerifier enroll/verify/identify/calibrate semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplip_tpu.data.audio_io import read_wav
+from deeplip_tpu.data.manifest import SpeakerManifest
+from deeplip_tpu.data.synthetic import make_audio_corpus, make_trial_list
+from tests.test_cli import _write_audio_config
+
+
+@pytest.fixture(scope="module")
+def verifier(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve"))
+    make_audio_corpus(root, n_spk=3, utts_per_spk=3, duration=1.0)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    trial_path = os.path.join(root, "trials.txt")
+    make_trial_list(trial_path, manifest, n_trials=40)
+    cfg_path = os.path.join(root, "audio.yaml")
+    _write_audio_config(cfg_path, root, trial_path)
+
+    from deeplip_tpu.serve import SpeakerVerifier
+
+    v = SpeakerVerifier(cfg_path, exp_root=os.path.join(root, "exp"))
+    utts = {f"spk{i}": [u.path for u in spk_utts]
+            for i, spk_utts in enumerate(manifest.speakers)}
+    return v, utts, trial_path, root
+
+
+def test_embed_files_matches_embed_pcm(verifier):
+    v, utts, _, _ = verifier
+    path = next(iter(utts.values()))[0]
+    e_file = v.embed_files({"u": path})["u"]
+    pcm, sr = read_wav(path)
+    e_pcm = v.embed_pcm({"u": pcm}, rate=sr)["u"]
+    np.testing.assert_array_equal(e_file, e_pcm)
+    # LMCL-path embeddings come out unit-norm (train_audio.py:318-320)
+    assert abs(float(np.linalg.norm(e_file)) - 1.0) < 1e-5
+
+
+def test_enroll_score_identify(verifier):
+    v, utts, _, _ = verifier
+    speakers = list(utts)
+    for s in speakers:
+        v.enroll(s, utts[s][0])
+    # single-utterance profile == that utterance's embedding -> score 1.0
+    s0 = speakers[0]
+    assert v.score(s0, utts[s0][0]) == pytest.approx(1.0, abs=1e-5)
+    top = v.identify(utts[s0][0], top_k=len(speakers))
+    assert top[0][0] == s0
+    assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+    assert len(top) == len(speakers)
+    # multi-utterance enrollment: normalized mean of unit embeddings
+    e0 = v.profiles[s0].copy()
+    v.enroll(s0, utts[s0][:2])
+    assert not np.array_equal(v.profiles[s0], e0)
+    assert abs(float(np.linalg.norm(v.profiles[s0])) - 1.0) < 1e-6
+
+    with pytest.raises(KeyError):
+        v.score("nobody", utts[s0][0])
+
+
+def test_calibrate_sets_threshold_and_verify(verifier):
+    v, utts, trial_path, root = verifier
+    eer, thr = v.calibrate(trial_path, root)
+    assert 0.0 <= eer <= 1.0
+    assert v.threshold == thr
+    s0 = next(iter(utts))
+    v.enroll(s0, utts[s0][0])
+    r = v.verify(s0, utts[s0][0])
+    assert r.threshold == thr and r.speaker == s0
+    assert r.accept == (r.score >= thr)
+    # the enrolled utterance itself scores 1.0 -> must accept
+    assert r.accept
+
+
+def test_verify_without_threshold_raises(tmp_path):
+    from deeplip_tpu.serve import SpeakerVerifier
+
+    root = str(tmp_path)
+    make_audio_corpus(root, n_spk=2, utts_per_spk=1, duration=0.6)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    trial_path = os.path.join(root, "t.txt")
+    make_trial_list(trial_path, manifest, n_trials=4)
+    cfg_path = os.path.join(root, "audio.yaml")
+    _write_audio_config(cfg_path, root, trial_path)
+    v = SpeakerVerifier(cfg_path, exp_root=os.path.join(root, "exp"))
+    path = manifest.speakers[0][0].path
+    v.enroll("s", path)
+    with pytest.raises(ValueError):
+        v.verify("s", path)
+
+
+def test_profiles_save_load_roundtrip(verifier, tmp_path):
+    v, utts, _, _ = verifier
+    for s in utts:
+        v.enroll(s, utts[s][0])
+    out = str(tmp_path / "profiles")
+    v.save_profiles(out)
+
+    from deeplip_tpu.serve import SpeakerVerifier
+
+    v2 = SpeakerVerifier.__new__(SpeakerVerifier)  # skip model build: only
+    v2.profiles = {}                               # profile IO under test
+    v2.load_profiles(out)
+    assert set(v2.profiles) == set(v.profiles)
+    for s in v.profiles:
+        np.testing.assert_allclose(v2.profiles[s], v.profiles[s], atol=1e-7)
