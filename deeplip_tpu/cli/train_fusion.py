@@ -29,13 +29,10 @@ import os
 import numpy as np
 
 from deeplip_tpu.core.config import load_fusion_config
-from deeplip_tpu.data.audio_io import read_wav
 from deeplip_tpu.data.fusion_pipeline import AVTrainPipeline
 from deeplip_tpu.data.manifest import SpeakerManifest
-from deeplip_tpu.data.video_dataset import load_clip
 from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
-from deeplip_tpu.ops.framing import frame_len_step, num_frames
-from deeplip_tpu.train.fusion import FusionTrainer
+from deeplip_tpu.train.fusion import FusionTrainer, embed_av_items
 
 
 def _znorm_np(x: np.ndarray) -> np.ndarray:
@@ -159,92 +156,35 @@ def extract_pairs(
     """Paired per-utterance extraction over a list of utterance names
     (usually a trial list's unique utts, or a PLDA dev list).
 
+    Resolves each name to its wav under ``data.test_root`` and its clip
+    group under ``data.video_root`` (TCD-TIMIT ``<spk>/<stem>*.npz`` glob,
+    reference ``models/fusion_models/datasets.py:143-150``), then delegates
+    the buffering + device batching to
+    :func:`deeplip_tpu.train.fusion.embed_av_items`.
+
     Returns one fused :class:`EmbeddingStore`, or with ``return_parts`` the
     ``(audio_store, video_store)`` pair for the score-fusion back-end."""
     data = cfg.data
     video_root = data.get("video_root", ".")
     test_root = data.get("test_root", ".")
     max_clips = int(cfg.train.get("max_clips", 2))
-    clip_frames = int(cfg.train.get("clip_frames", 32))
-    store = EmbeddingStore()
-    audio_store, video_store = EmbeddingStore(), EmbeddingStore()
-    batch = 16
-    for i in range(0, len(names), batch):
-        chunk = names[i : i + batch]
-        pcm_list, clip_groups = [], []
-        for name in chunk:
-            y, sr = read_wav(os.path.join(test_root, name))
-            pcm_list.append(y)
-            stem = os.path.splitext(os.path.basename(name))[0]
-            spk_dir = os.path.dirname(name)
-            matches = sorted(
-                glob.glob(os.path.join(video_root, spk_dir, stem + "*.npz"))
-            )[:max_clips]
-            clip_groups.append(matches)
-        max_s = max(len(y) for y in pcm_list)
-        b = len(chunk)
-        pcm = np.zeros((b, max_s), np.float32)
-        lengths = np.zeros((b,), np.int32)
-        sample_lengths = np.zeros((b,), np.int32)
-        clip_lengths = np.zeros((b, max_clips), np.int32)
-        group_sizes = np.zeros((b,), np.int32)
-        # frame geometry from the trainer's feature config, not hard-coded
-        # 25ms/10ms@16k (other rates/windows would corrupt the masks)
-        f_len, f_step = frame_len_step(
-            trainer.feat_cfg.win_len, trainer.feat_cfg.win_shift,
-            trainer.feat_cfg.rate)
-        # center-crop every clip to the trainer's eval geometry BEFORE
-        # buffering (reference preprocess.py:74-92 arithmetic, identical to
-        # ops/video.py:center_crop) so mixed-geometry corpora share one
-        # buffer exactly and the device-side center crop is the identity.
-        # Zero-padding a smaller clip into a bigger buffer instead would
-        # shift its crop off-center and average padding into the trunk's
-        # spatial pooling (the clip-length masks are temporal only).
-        th, tw = trainer.crop_size
 
-        def crop_to_eval(d: np.ndarray, path: str) -> np.ndarray:
-            h, w = d.shape[1], d.shape[2]
-            if h < th or w < tw:
-                raise ValueError(
-                    f"clip {path!r} is {h}x{w}, smaller than the eval crop "
-                    f"{th}x{tw} (train.crop_size) — cannot extract")
-            dh = int(round((h - th)) / 2.0)
-            dw = int(round((w - tw)) / 2.0)
-            return d[:, dh : dh + th, dw : dw + tw]
+    def clip_glob(name):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        spk_dir = os.path.dirname(name)
+        return sorted(
+            glob.glob(os.path.join(video_root, spk_dir, stem + "*.npz"))
+        )[:max_clips]
 
-        loaded: list[list[np.ndarray]] = [
-            [crop_to_eval(load_clip(cp)[:clip_frames], cp) for cp in group]
-            for group in clip_groups
-        ]
-        clips = np.zeros((b, max_clips, clip_frames, th, tw), np.uint8)
-        for r, (y, group) in enumerate(zip(pcm_list, loaded)):
-            pcm[r, : len(y)] = y
-            lengths[r] = num_frames(len(y), f_len, f_step)
-            sample_lengths[r] = len(y)
-            for g, d in enumerate(group):
-                clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
-                clip_lengths[r, g] = len(d)
-            group_sizes[r] = len(group)
-        if return_parts:
-            xv, em = trainer.extract_pair_embedding(
-                pcm, lengths, clips, clip_lengths, group_sizes,
-                sample_lengths=sample_lengths, return_parts=True,
-            )
-            for r, name in enumerate(chunk):
-                audio_store[name] = xv[r]
-                video_store[name] = em[r]
-        else:
-            fused = trainer.extract_pair_embedding(
-                pcm, lengths, clips, clip_lengths, group_sizes,
-                use_fusion_head=bool(
-                    cfg.get("test", {}).get("use_fusion_head", False)),
-                sample_lengths=sample_lengths,
-            )
-            for r, name in enumerate(chunk):
-                store[name] = fused[r]
-    if return_parts:
-        return audio_store, video_store
-    return store
+    items = [(name, os.path.join(test_root, name), clip_glob(name))
+             for name in names]
+    return embed_av_items(
+        trainer, items,
+        max_clips=max_clips,
+        clip_frames=int(cfg.train.get("clip_frames", 32)),
+        use_fusion_head=bool(cfg.get("test", {}).get("use_fusion_head", False)),
+        return_parts=return_parts,
+    )
 
 
 def _fit_plda(trainer: FusionTrainer, cfg):

@@ -7,6 +7,16 @@ same extraction + cosine machinery as an enroll/verify/identify API for
 production use on TPU.
 """
 
-from deeplip_tpu.serve.verifier import SpeakerVerifier, VerifyResult
+from deeplip_tpu.serve.verifier import ProfileVerifier, SpeakerVerifier, VerifyResult
 
-__all__ = ["SpeakerVerifier", "VerifyResult"]
+
+def __getattr__(name):
+    # AVSpeakerVerifier pulls in the whole fusion stack; import lazily
+    if name == "AVSpeakerVerifier":
+        from deeplip_tpu.serve.av import AVSpeakerVerifier
+
+        return AVSpeakerVerifier
+    raise AttributeError(name)
+
+
+__all__ = ["AVSpeakerVerifier", "ProfileVerifier", "SpeakerVerifier", "VerifyResult"]

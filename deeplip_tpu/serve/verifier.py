@@ -7,7 +7,7 @@ length-bucketed batched extraction (``EvalUtteranceSet``), and the
 reference-exact EER/threshold backend (``eval/eer.py``) — so a verify
 decision here is bit-consistent with the offline trial protocol.
 
-Semantics:
+Semantics (shared with :class:`deeplip_tpu.serve.av.AVSpeakerVerifier`):
 
 - **enroll**: the speaker profile is the L2-normalized mean of the
   utterance embeddings (standard x-vector multi-session enrollment; with
@@ -50,7 +50,80 @@ def _l2(v: np.ndarray) -> np.ndarray:
     return v / max(float(np.linalg.norm(v)), 1e-12)
 
 
-class SpeakerVerifier:
+class ProfileVerifier:
+    """Enrollment-profile store + cosine decisions, embedding-agnostic.
+
+    Subclasses provide ``_embed_one(item) -> np.ndarray`` (any norm — it is
+    re-normalized here) and ``_is_single_item(x)``."""
+
+    def __init__(self, threshold: float | None = None):
+        self.threshold = threshold
+        self.profiles: dict[str, np.ndarray] = {}
+
+    def _embed_one(self, item) -> np.ndarray:
+        raise NotImplementedError
+
+    def _is_single_item(self, x) -> bool:
+        raise NotImplementedError
+
+    # -- enrollment ------------------------------------------------------
+    def enroll(self, speaker: str, items) -> np.ndarray:
+        """Enroll ``speaker`` from one or more utterances. Profile =
+        L2-normalized mean of unit-normalized utterance embeddings.
+        Re-enrolling replaces the profile."""
+        if self._is_single_item(items):
+            items = [items]
+        embs = [_l2(np.asarray(self._embed_one(it)).reshape(-1))
+                for it in items]
+        self.profiles[speaker] = _l2(np.mean(embs, axis=0))
+        return self.profiles[speaker]
+
+    # -- decisions -------------------------------------------------------
+    def score(self, speaker: str, item) -> float:
+        """Cosine similarity between the speaker's profile and ``item``."""
+        if speaker not in self.profiles:
+            raise KeyError(f"speaker {speaker!r} is not enrolled")
+        e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
+        return float(np.dot(self.profiles[speaker], e))
+
+    def verify(self, speaker: str, item) -> VerifyResult:
+        if self.threshold is None:
+            raise ValueError(
+                "no operating threshold: call calibrate(...) or construct "
+                "with threshold=")
+        s = self.score(speaker, item)
+        return VerifyResult(speaker=speaker, score=s,
+                            threshold=self.threshold,
+                            accept=bool(s >= self.threshold))
+
+    def identify(self, item, top_k: int = 1) -> list[tuple[str, float]]:
+        """Ranked ``(speaker, score)`` over all enrolled profiles."""
+        if not self.profiles:
+            raise ValueError("no speakers enrolled")
+        e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
+        names = list(self.profiles)
+        scores = np.stack([self.profiles[n] for n in names]) @ e
+        order = np.argsort(-scores)[:top_k]
+        return [(names[i], float(scores[i])) for i in order]
+
+    # -- persistence -----------------------------------------------------
+    def save_profiles(self, out_dir: str) -> None:
+        store = EmbeddingStore()
+        for name, emb in self.profiles.items():
+            store[name] = emb
+        store.save_npy_tree(out_dir)
+
+    def load_profiles(self, out_dir: str) -> None:
+        for dirpath, _dirs, files in os.walk(out_dir):
+            for f in files:
+                if f.endswith(".npy"):
+                    rel = os.path.relpath(os.path.join(dirpath, f), out_dir)
+                    name = rel[:-len(".npy")]
+                    self.profiles[name] = _l2(
+                        np.load(os.path.join(dirpath, f)).reshape(-1))
+
+
+class SpeakerVerifier(ProfileVerifier):
     """Enroll/verify/identify on top of a trained audio embedding model.
 
     Args:
@@ -67,6 +140,7 @@ class SpeakerVerifier:
     def __init__(self, config: str | Config, checkpoint: str | None = None,
                  threshold: float | None = None, exp_root: str = "exp",
                  mesh=None):
+        super().__init__(threshold)
         cfg = load_audio_config(config) if isinstance(config, str) else config
         is_pth = checkpoint is not None and str(checkpoint).endswith(".pth")
         if checkpoint and not is_pth:
@@ -81,8 +155,6 @@ class SpeakerVerifier:
                                     n_spk=n_spk)
         if is_pth:
             self.trainer.load_torch_checkpoint(str(checkpoint))
-        self.threshold = threshold
-        self.profiles: dict[str, np.ndarray] = {}
 
     # -- embedding -------------------------------------------------------
     def _utt_set(self, utts: Sequence[EvalUtterance], reader=None) -> EvalUtteranceSet:
@@ -112,54 +184,13 @@ class SpeakerVerifier:
         reader = lambda key: (table[key], sr)  # noqa: E731
         return self.trainer.extract_embeddings(self._utt_set(utts, reader=reader))
 
-    def _embed_one(self, wav: str | np.ndarray, rate: int | None = None) -> np.ndarray:
+    def _is_single_item(self, x) -> bool:
+        return isinstance(x, (str, np.ndarray))
+
+    def _embed_one(self, wav: str | np.ndarray) -> np.ndarray:
         if isinstance(wav, str):
             return self.embed_files({"_": wav})["_"]
-        return self.embed_pcm({"_": wav}, rate=rate)["_"]
-
-    # -- enrollment ------------------------------------------------------
-    def enroll(self, speaker: str,
-               wavs: Sequence[str | np.ndarray] | str | np.ndarray,
-               rate: int | None = None) -> np.ndarray:
-        """Enroll ``speaker`` from one or more utterances (paths or PCM).
-        Profile = L2-normalized mean of the (already unit-norm) utterance
-        embeddings. Re-enrolling replaces the profile."""
-        if isinstance(wavs, (str, np.ndarray)):
-            wavs = [wavs]
-        embs = [_l2(self._embed_one(w, rate=rate)) for w in wavs]
-        self.profiles[speaker] = _l2(np.mean(embs, axis=0))
-        return self.profiles[speaker]
-
-    # -- decisions -------------------------------------------------------
-    def score(self, speaker: str, wav: str | np.ndarray,
-              rate: int | None = None) -> float:
-        """Cosine similarity between the speaker's profile and ``wav``."""
-        if speaker not in self.profiles:
-            raise KeyError(f"speaker {speaker!r} is not enrolled")
-        e = _l2(self._embed_one(wav, rate=rate))
-        return float(np.dot(self.profiles[speaker], e))
-
-    def verify(self, speaker: str, wav: str | np.ndarray,
-               rate: int | None = None) -> VerifyResult:
-        if self.threshold is None:
-            raise ValueError(
-                "no operating threshold: call calibrate(trial_path, root) "
-                "or construct with threshold=")
-        s = self.score(speaker, wav, rate=rate)
-        return VerifyResult(speaker=speaker, score=s,
-                            threshold=self.threshold,
-                            accept=bool(s >= self.threshold))
-
-    def identify(self, wav: str | np.ndarray, top_k: int = 1,
-                 rate: int | None = None) -> list[tuple[str, float]]:
-        """Ranked ``(speaker, score)`` over all enrolled profiles."""
-        if not self.profiles:
-            raise ValueError("no speakers enrolled")
-        e = _l2(self._embed_one(wav, rate=rate))
-        names = list(self.profiles)
-        scores = np.stack([self.profiles[n] for n in names]) @ e
-        order = np.argsort(-scores)[:top_k]
-        return [(names[i], float(scores[i])) for i in order]
+        return self.embed_pcm({"_": wav})["_"]
 
     # -- calibration -----------------------------------------------------
     def calibrate(self, trial_path: str, root: str = ".") -> tuple[float, float]:
@@ -172,19 +203,3 @@ class SpeakerVerifier:
         eer, thr = cosine_eer(trials, store)
         self.threshold = float(thr)
         return float(eer), float(thr)
-
-    # -- persistence -----------------------------------------------------
-    def save_profiles(self, out_dir: str) -> None:
-        store = EmbeddingStore()
-        for name, emb in self.profiles.items():
-            store[name] = emb
-        store.save_npy_tree(out_dir)
-
-    def load_profiles(self, out_dir: str) -> None:
-        for dirpath, _dirs, files in os.walk(out_dir):
-            for f in files:
-                if f.endswith(".npy"):
-                    rel = os.path.relpath(os.path.join(dirpath, f), out_dir)
-                    name = rel[:-len(".npy")]
-                    self.profiles[name] = _l2(
-                        np.load(os.path.join(dirpath, f)).reshape(-1))

@@ -556,3 +556,111 @@ class FusionTrainer:
         if return_parts:
             return np.asarray(out[0]), np.asarray(out[1])
         return np.asarray(out)
+
+
+def embed_av_items(
+    trainer: "FusionTrainer",
+    items,
+    *,
+    max_clips: int = 2,
+    clip_frames: int = 32,
+    use_fusion_head: bool = False,
+    return_parts: bool = False,
+    chunk_size: int = 16,
+):
+    """Batched paired AV embeddings for ``(name, wav, clip_group)`` items.
+
+    The buffering core shared by the fusion CLI's trial extraction
+    (``cli/train_fusion.py:extract_pairs``) and the AV serving API: chunks
+    items, pads PCM/clips into dense device batches, and runs
+    :meth:`FusionTrainer.extract_pair_embedding` once per chunk (vs the
+    reference's one host round-trip per clip, ``train_fusion.py:267-281``).
+
+    ``wav`` is a path or float32 PCM at the trainer's rate; each clip-group
+    entry is an ``.npz``/``.npy`` path or a ``(T, H, W)`` uint8 array.
+    Every clip is center-cropped to the trainer's eval geometry BEFORE
+    buffering (reference ``preprocess.py:74-92`` arithmetic, identical to
+    ``ops/video.py:center_crop``) so mixed-geometry corpora share one
+    buffer exactly and the device-side center crop is the identity;
+    zero-padding a smaller clip into a bigger buffer instead would shift
+    its crop off-center and average padding into the trunk's spatial
+    pooling (the clip-length masks are temporal only).
+
+    Returns a fused :class:`EmbeddingStore`, or with ``return_parts`` the
+    ``(audio_store, video_store)`` pair for the score-fusion back-end.
+    """
+    from deeplip_tpu.data.audio_io import read_wav
+    from deeplip_tpu.data.video_dataset import load_clip
+    from deeplip_tpu.eval.scoring import EmbeddingStore
+    from deeplip_tpu.ops.framing import frame_len_step, num_frames
+
+    store = EmbeddingStore()
+    audio_store, video_store = EmbeddingStore(), EmbeddingStore()
+    items = list(items)
+    # frame geometry from the trainer's feature config, not hard-coded
+    # 25ms/10ms@16k (other rates/windows would corrupt the masks)
+    f_len, f_step = frame_len_step(
+        trainer.feat_cfg.win_len, trainer.feat_cfg.win_shift,
+        trainer.feat_cfg.rate)
+    th, tw = trainer.crop_size
+
+    def crop_to_eval(d: np.ndarray, label) -> np.ndarray:
+        h, w = d.shape[1], d.shape[2]
+        if h < th or w < tw:
+            raise ValueError(
+                f"clip {label!r} is {h}x{w}, smaller than the eval crop "
+                f"{th}x{tw} (train.crop_size) — cannot extract")
+        dh = int(round((h - th)) / 2.0)
+        dw = int(round((w - tw)) / 2.0)
+        return d[:, dh : dh + th, dw : dw + tw]
+
+    def load_one_clip(c):
+        if isinstance(c, str):
+            return crop_to_eval(load_clip(c)[:clip_frames], c)
+        return crop_to_eval(np.asarray(c, np.uint8)[:clip_frames], "array")
+
+    for i in range(0, len(items), chunk_size):
+        chunk = items[i : i + chunk_size]
+        pcm_list, loaded = [], []
+        for _name, wav, group in chunk:
+            if isinstance(wav, str):
+                y, _sr = read_wav(wav)
+            else:
+                y = np.asarray(wav, np.float32)
+            pcm_list.append(y)
+            loaded.append([load_one_clip(c) for c in list(group)[:max_clips]])
+        max_s = max(len(y) for y in pcm_list)
+        b = len(chunk)
+        pcm = np.zeros((b, max_s), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        sample_lengths = np.zeros((b,), np.int32)
+        clip_lengths = np.zeros((b, max_clips), np.int32)
+        group_sizes = np.zeros((b,), np.int32)
+        clips = np.zeros((b, max_clips, clip_frames, th, tw), np.uint8)
+        for r, (y, group) in enumerate(zip(pcm_list, loaded)):
+            pcm[r, : len(y)] = y
+            lengths[r] = num_frames(len(y), f_len, f_step)
+            sample_lengths[r] = len(y)
+            for g, d in enumerate(group):
+                clips[r, g, : len(d), : d.shape[1], : d.shape[2]] = d
+                clip_lengths[r, g] = len(d)
+            group_sizes[r] = len(group)
+        if return_parts:
+            xv, em = trainer.extract_pair_embedding(
+                pcm, lengths, clips, clip_lengths, group_sizes,
+                sample_lengths=sample_lengths, return_parts=True,
+            )
+            for r, (name, _w, _g) in enumerate(chunk):
+                audio_store[name] = xv[r]
+                video_store[name] = em[r]
+        else:
+            fused = trainer.extract_pair_embedding(
+                pcm, lengths, clips, clip_lengths, group_sizes,
+                use_fusion_head=use_fusion_head,
+                sample_lengths=sample_lengths,
+            )
+            for r, (name, _w, _g) in enumerate(chunk):
+                store[name] = fused[r]
+    if return_parts:
+        return audio_store, video_store
+    return store

@@ -108,3 +108,87 @@ def test_profiles_save_load_roundtrip(verifier, tmp_path):
     assert set(v2.profiles) == set(v.profiles)
     for s in v.profiles:
         np.testing.assert_allclose(v2.profiles[s], v.profiles[s], atol=1e-7)
+
+
+def _make_av_setup(tmp_path):
+    import yaml as _yaml
+
+    root = str(tmp_path / "corpus")
+    make_audio_corpus(root, n_spk=2, utts_per_spk=2, duration=0.8)
+    manifest = SpeakerManifest.load(os.path.join(root, "manifest.csv"))
+    trial_path = str(tmp_path / "trials.txt")
+    make_trial_list(trial_path, manifest, n_trials=8)
+    vroot = str(tmp_path / "video")
+    rng = np.random.default_rng(0)
+    clip_paths = {}
+    for s, spk in enumerate(manifest.speakers):
+        os.makedirs(os.path.join(vroot, f"s{s:02d}"), exist_ok=True)
+        for u in spk:
+            stem = os.path.splitext(os.path.basename(u.path))[0]
+            cp = os.path.join(vroot, f"s{s:02d}", stem + ".npz")
+            np.savez(cp, data=rng.integers(0, 255, (4, 96, 96)).astype(np.uint8))
+            clip_paths[u.path] = cp
+    cfg = {
+        "data": {
+            "frames": [30, 40],
+            "train_manifest": os.path.join(root, "manifest.csv"),
+            "video_root": vroot, "test_root": root, "trial_grid": trial_path,
+            "python_data_config": {
+                "rate": 16000, "feat_type": "mfcc",
+                "mfcc": {"n_fft": 512, "num_bin": 26, "num_cep": 24,
+                         "energy": True, "normalize": True, "delta": False,
+                         "win_len": 0.025, "win_shift": 0.01}},
+        },
+        "model": {
+            "audio_config": {"arch": "tdnn", "tdnn": {
+                "input_dim": 24, "hidden_dim": [16, 32],
+                "context": [[-2, -1, 0, 1, 2], [0]], "tdnn_layers": 2,
+                "embedding_dim": 8, "pooling": "statistic",
+                "attention_hidden_size": 4, "bn_first": True}},
+            "video_config": {"arch": "tcn", "tcn": {
+                "extract_feats": True, "backbone_type": "resnet",
+                "width_mult": 1.0, "relu_type": "prelu", "tcn_num_layers": 1,
+                "tcn_kernel_size": [3], "tcn_dropout": 0.2, "tcn_dwpw": False,
+                "tcn_width_mult": 1}},
+        },
+        "train": {"optimizer": "sgd", "bs": 4, "lr_decay_step": [4, 8],
+                  "lr_decay": 0.1, "epoch": 1, "loss": "CrossEntropy",
+                  "max_clips": 1, "clip_frames": 4,
+                  "sgd": {"init_lr": 0.5, "weight_decay": 1e-5,
+                          "momentum": 0.9},
+                  "resume": "None", "audio_config": {"resume": "None"},
+                  "video_config": {"resume": "None"}},
+        "test": {"eval_grid": True, "eval_lomgrid": False, "use_cos": True},
+    }
+    cfg_path = str(tmp_path / "fusion.yaml")
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    return cfg_path, manifest, trial_path, clip_paths
+
+
+def test_av_verifier_end_to_end(tmp_path):
+    from deeplip_tpu.serve import AVSpeakerVerifier
+
+    cfg_path, manifest, trial_path, clip_paths = _make_av_setup(tmp_path)
+    v = AVSpeakerVerifier(cfg_path, exp_root=str(tmp_path / "exp"),
+                          log_time="av0")
+
+    eer, thr = v.calibrate(trial_path)
+    assert 0.0 <= eer <= 1.0 and v.threshold == thr
+
+    items = {f"spk{s}": [(u.path, [clip_paths[u.path]]) for u in spk]
+             for s, spk in enumerate(manifest.speakers)}
+    for name, its in items.items():
+        v.enroll(name, its[0])
+    probe = items["spk0"][0]
+    assert v.score("spk0", probe) == pytest.approx(1.0, abs=1e-5)
+    r = v.verify("spk0", probe)
+    assert r.accept and r.threshold == thr
+    assert v.identify(probe)[0][0] == "spk0"
+
+    # in-memory items (PCM + uint8 clip arrays) embed identically to paths
+    wav_path, (cp,) = probe[0], tuple(probe[1:])[0]
+    pcm, _sr = read_wav(wav_path)
+    clip_arr = np.load(cp)["data"]
+    e_path = v.embed_items({"x": (wav_path, [cp])})["x"]
+    e_mem = v.embed_items({"x": (pcm, [clip_arr])})["x"]
+    np.testing.assert_array_equal(e_path, e_mem)
