@@ -206,3 +206,20 @@ def test_parity_check_trained_net(tmp_path):
     rep = json.loads(report.read_text())
     assert rep["embedding_parity_bar_1e-4"], rep
     assert rep["eer_bit_equal"], rep
+
+
+def test_pyproject_entry_points_resolve():
+    """Packaging metadata: every console script target must import and be
+    callable, and the dynamic version attr must exist (pyproject.toml)."""
+    import importlib
+    import tomllib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    for target in meta["project"]["scripts"].values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), target
+    attr = meta["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+    pkg, name = attr.rsplit(".", 1)
+    assert isinstance(getattr(importlib.import_module(pkg), name), str)
