@@ -137,8 +137,14 @@ def main():
             jax.random.PRNGKey(1), (BATCH, n_samples), jnp.float32)
 
     def make_embed(dsp, conv, fc):
-        """conv: str | tuple-of-str per block."""
-        feat_cfg = dataclasses.replace(base_feat, precision=dsp)
+        """conv: str | tuple-of-str per block. dsp='fft' routes the rDFT
+        through jnp.fft.rfft (native f32, no bf16-pass tax) with the tiny
+        mel/DCT matmuls staying at 'high'."""
+        if dsp == "fft":
+            feat_cfg = dataclasses.replace(base_feat, precision="high",
+                                           dft="fft")
+        else:
+            feat_cfg = dataclasses.replace(base_feat, precision=dsp)
         model = base_model.clone(conv_precision=conv, fc_precision=fc)
 
         @jax.jit
@@ -200,9 +206,14 @@ def main():
     run("sens:allconv_as", H, conv_as, H, timeit=False)
     run("sens:allconv_def", H, "default", H, timeit=False)
 
+    # --- rFFT rDFT (r3b): algorithmic replacement for the DFT basis
+    # matmuls — native f32 arithmetic (no bf16-pass tax) at ~45x fewer FLOPs
+    run("sens:dsp_fft", "fft", H, H, timeit=False)
+
     # --- candidate full plans (error + honest timing)
     run("plan:current", H, "high", "high")            # r2 production setting
     run("plan:all_high", "high", "high", "high")
+    run("plan:fft_high", "fft", "high", "high")
     run("plan:all_default", "default", "default", "default")
     run("plan:dspws_convdef", "wsplit2", "default", "high")
     run("plan:dsphigh_convas", "high", conv_as, "high")

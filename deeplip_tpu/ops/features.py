@@ -66,6 +66,15 @@ class FeatureConfig:
     # NOT parity-grade; 'default' (1 bf16 pass, 7.4e-4) is the training
     # setting. Measurements: docs/precision_budget_r03.md.
     precision: str = "highest"
+    # rDFT implementation: 'matmul' (two MXU passes against cos/sin bases,
+    # at `precision`) or 'fft' (`jnp.fft.rfft` — native-f32 accuracy,
+    # immune to the bf16-pass precision tax; mel/DCT matmuls keep
+    # `precision`). MEASURED (benchmarks/precision_budget.py, trained
+    # regime, v5e): 'fft' holds the parity bar (3.4e-5) but XLA's TPU FFT
+    # at n_fft=512 is SLOWER than the 3-pass matmul (20.0 vs 13.2 ms per
+    # 256x3s batch) — the MXU beats the FFT's O(n log n) at these sizes,
+    # so 'matmul' stays the production default.
+    dft: str = "matmul"
 
     @classmethod
     def from_config(cls, data_opts: Mapping[str, Any]) -> "FeatureConfig":
@@ -125,14 +134,35 @@ def _power_spectrum(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """
     emph = framing.preemphasis(signal, cfg.preemph)
     frames = framing.frame_signal(emph, cfg.frame_len, cfg.frame_step)
-    cos_m, sin_m = spectral.rdft_matrices(cfg.frame_len, cfg.n_fft)
+    re, im = _rdft(frames, cfg.frame_len, cfg)
+    return (re * re + im * im) / cfg.n_fft
+
+
+def _rdft(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig):
+    """Real DFT of ``(..., T, frame_len)`` frames → (re, im) ``(..., T, n_fft//2+1)``.
+
+    ``cfg.dft='matmul'``: two dense MXU passes against precomputed bases at
+    ``cfg.precision`` (the fusable, bit-deterministic default — see
+    ``ops.spectral``). ``cfg.dft='fft'``: ``jnp.fft.rfft`` with implicit
+    zero-pad to ``n_fft`` — native f32 arithmetic, so it is immune to the
+    bf16 MXU rounding that forces the matmul path to 3+ passes
+    (docs/precision_budget_r03.md). Measured on the v5e it is ~1.5x
+    SLOWER end-to-end than the 3-pass matmul despite ~45x fewer FLOPs
+    (XLA's small-size FFT underutilizes the chip), so it stays opt-in.
+    """
+    if cfg.dft == "fft":
+        spec = jnp.fft.rfft(frames, n=cfg.n_fft)
+        return jnp.real(spec).astype(frames.dtype), jnp.imag(spec).astype(frames.dtype)
+    if cfg.dft != "matmul":
+        raise NotImplementedError(f"unknown dft impl {cfg.dft!r}")
+    cos_m, sin_m = spectral.rdft_matrices(frame_len, cfg.n_fft)
     cos_m = jnp.asarray(cos_m, dtype=frames.dtype)
     sin_m = jnp.asarray(sin_m, dtype=frames.dtype)
     # cfg.precision='highest' (default): TPU f32 matmuls otherwise run as
     # bf16 MXU passes, which costs ~3 digits and breaks the 1e-4 parity bar.
     re = comp_matmul(frames, cos_m, cfg.precision)
     im = comp_matmul(frames, sin_m, cfg.precision)
-    return (re * re + im * im) / cfg.n_fft
+    return re, im
 
 
 def _mel_energies(signal: jnp.ndarray, cfg: FeatureConfig):
@@ -197,9 +227,7 @@ def stft_features(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     off = (cfg.n_fft - win_length) // 2
     full[off : off + win_length] = window
     frames = frames * jnp.asarray(full, dtype=frames.dtype)
-    cos_m, sin_m = spectral.rdft_matrices(cfg.n_fft, cfg.n_fft)
-    re = comp_matmul(frames, jnp.asarray(cos_m, dtype=frames.dtype), cfg.precision)
-    im = comp_matmul(frames, jnp.asarray(sin_m, dtype=frames.dtype), cfg.precision)
+    re, im = _rdft(frames, cfg.n_fft, cfg)
     mag = jnp.sqrt(re * re + im * im)
     return jnp.log1p(mag)
 

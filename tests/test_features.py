@@ -260,6 +260,44 @@ def test_sample_lengths_rejects_inline_normalize():
         F.extract_features(sig, cfg, sample_lengths=jnp.asarray([4000, 3000]))
 
 
+@pytest.mark.parametrize("ft", ["mfcc", "fbank", "logfbank"])
+def test_fft_rdft_parity_vendored_psf(ft):
+    """dft='fft' (jnp.fft.rfft rDFT) must hold the same ≤1e-4 bar vs the
+    float64 psf golden as the matmul path — it is an algorithmic
+    replacement, not an approximation."""
+    sig = _sig(9600, seed=5)
+    cfg = F.FeatureConfig(feat_type=ft, num_bin=26, num_cep=24,
+                          normalize=False, dft="fft")
+    fn = {"mfcc": F.mfcc, "fbank": F.fbank, "logfbank": F.logfbank}[ft]
+    got = np.asarray(fn(jnp.asarray(sig, jnp.float32), cfg))
+    want = {
+        "mfcc": lambda: psf.mfcc(sig, RATE, winlen=0.025, winstep=0.01,
+                                 numcep=24, nfilt=26),
+        "fbank": lambda: psf.fbank(sig, RATE, winlen=0.025, winstep=0.01,
+                                   nfilt=26)[0],
+        "logfbank": lambda: psf.logfbank(sig, RATE, winlen=0.025,
+                                         winstep=0.01, nfilt=26),
+    }[ft]()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fft_rdft_matches_matmul_stft():
+    """stft front-end: fft and matmul rDFTs agree (both vs the oracle)."""
+    sig = _sig(6400, seed=7)
+    got = np.asarray(F.stft_features(
+        jnp.asarray(sig, jnp.float32),
+        F.FeatureConfig(feat_type="stft", normalize=False, dft="fft")))
+    want = O.librosa_stft_log1p(sig)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_unknown_dft_impl_raises():
+    cfg = F.FeatureConfig(feat_type="fbank", dft="winograd")
+    with pytest.raises(NotImplementedError, match="dft"):
+        F.fbank(jnp.zeros((1, 4000), jnp.float32), cfg)
+
+
 def test_pallas_v2_forced_ineligible_raises():
     """version='v2' on a config failing the Nyquist-fold prerequisites must
     refuse rather than return plausible-but-wrong filterbanks."""
