@@ -143,6 +143,12 @@ def main():
         if dsp == "fft":
             feat_cfg = dataclasses.replace(base_feat, precision="high",
                                            dft="fft")
+        elif dsp == "fused":
+            # r3c: one [cos|-sin] basis matmul at 'high' with the re²+im²
+            # fold riding the row-stacked mel matmul (ops.features
+            # _fused_rdft_sq) — 640 vs 768 padded lanes of DFT work
+            feat_cfg = dataclasses.replace(base_feat, precision="high",
+                                           dft="matmul_fused")
         else:
             feat_cfg = dataclasses.replace(base_feat, precision=dsp)
         model = base_model.clone(conv_precision=conv, fc_precision=fc)
@@ -214,6 +220,7 @@ def main():
     run("plan:current", H, "high", "high")            # r2 production setting
     run("plan:all_high", "high", "high", "high")
     run("plan:fft_high", "fft", "high", "high")
+    run("plan:fused_high", "fused", "high", "high")   # r3c fused-basis rDFT
     run("plan:all_default", "default", "default", "default")
     run("plan:dspws_convdef", "wsplit2", "default", "high")
     run("plan:dsphigh_convas", "high", conv_as, "high")

@@ -153,6 +153,15 @@ def _rdft(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig):
     if cfg.dft == "fft":
         spec = jnp.fft.rfft(frames, n=cfg.n_fft)
         return jnp.real(spec).astype(frames.dtype), jnp.imag(spec).astype(frames.dtype)
+    if cfg.dft == "matmul_fused":
+        # one MXU pass over the [cos | -sin] basis (same per-column dot
+        # products — see spectral.rdft_fused_matrix), split after. The split slices
+        # the lane dim at the unaligned column K=257, so hot paths that
+        # only need |·|² reductions should use _fused_rdft_sq + a
+        # row-stacked right-hand matrix instead (_mel_energies does).
+        fused = _fused_rdft_sq(frames, frame_len, cfg, square=False)
+        k = cfg.n_fft // 2 + 1
+        return fused[..., :k], fused[..., k:]
     if cfg.dft != "matmul":
         raise NotImplementedError(f"unknown dft impl {cfg.dft!r}")
     cos_m, sin_m = spectral.rdft_matrices(frame_len, cfg.n_fft)
@@ -165,7 +174,41 @@ def _rdft(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig):
     return re, im
 
 
+def _fused_rdft_sq(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig,
+                   square: bool = True) -> jnp.ndarray:
+    """Fused-basis rDFT ``(..., T, 2K)``: ``[re | im]`` (optionally squared).
+
+    One ``comp_matmul`` against ``spectral.rdft_fused_matrix`` — each output
+    column is the same dot product as the two-matmul ``_rdft`` path (agrees
+    to ~1 ulp), at ~1.2× less lane-padded MXU work (640 vs 768 padded
+    columns at n_fft=512).
+    """
+    basis = jnp.asarray(
+        spectral.rdft_fused_matrix(frame_len, cfg.n_fft), dtype=frames.dtype)
+    out = comp_matmul(frames, basis, cfg.precision)
+    return out * out if square else out
+
+
 def _mel_energies(signal: jnp.ndarray, cfg: FeatureConfig):
+    if cfg.dft == "matmul_fused":
+        # fused path: |rDFT|² never materializes per-bin — the re²+im²
+        # fold rides the mel matmul's contraction over the row-stacked
+        # [fb; fb] (spectral.mel_filterbank_fused), and the total energy
+        # is the plain sum over all 2K squared columns. Avoids both the
+        # second DFT matmul's lane padding and any unaligned lane slice.
+        emph = framing.preemphasis(signal, cfg.preemph)
+        frames = framing.frame_signal(emph, cfg.frame_len, cfg.frame_step)
+        sq = _fused_rdft_sq(frames, cfg.frame_len, cfg)
+        energy = jnp.sum(sq, axis=-1) / cfg.n_fft
+        energy = jnp.where(energy == 0, _PSF_EPS, energy)
+        fb2 = jnp.asarray(
+            spectral.mel_filterbank_fused(
+                cfg.num_bin, cfg.n_fft, cfg.rate, cfg.low_freq, cfg.high_freq),
+            dtype=sq.dtype,
+        )
+        feat = comp_matmul(sq, fb2, cfg.precision) / cfg.n_fft
+        feat = jnp.where(feat == 0, _PSF_EPS, feat)
+        return feat, energy
     pspec = _power_spectrum(signal, cfg)
     energy = jnp.sum(pspec, axis=-1)
     energy = jnp.where(energy == 0, _PSF_EPS, energy)

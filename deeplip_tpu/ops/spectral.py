@@ -41,6 +41,40 @@ def rdft_matrices(frame_len: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @lru_cache(maxsize=None)
+def rdft_fused_matrix(frame_len: int, n_fft: int) -> np.ndarray:
+    """Column-concatenated rDFT basis ``[cos | -sin]``, ``(frame_len, 2K)``.
+
+    ``frames @ rdft_fused_matrix(...)`` computes re and im in ONE matmul:
+    each output column is the same dot product the two-matmul form produces
+    (``re = out[..., :K]``, ``im = out[..., K:]``; values agree to ~1 ulp —
+    only N-dependent gemm tiling can reorder accumulation) — and the TPU
+    lane padding shrinks: two N=257 matmuls pad to 384 lanes each (768
+    total) while the fused N=514 pads to 640.
+    """
+    cos_m, sin_m = rdft_matrices(frame_len, n_fft)
+    return np.concatenate([cos_m, sin_m], axis=1)
+
+
+@lru_cache(maxsize=None)
+def mel_filterbank_fused(
+    n_filt: int,
+    n_fft: int,
+    rate: int,
+    low_freq: float = 0.0,
+    high_freq: float | None = None,
+) -> np.ndarray:
+    """Row-stacked ``[fb; fb]`` filterbank, shape ``(2K, n_filt)``.
+
+    Applied to the SQUARED fused-rDFT output it folds the ``re² + im²``
+    reduction into the mel matmul's own contraction:
+    ``(out²) @ [fb; fb] == (re² + im²) @ fb`` — which avoids slicing the
+    fused matmul's lane dimension at the non-128-aligned column K=257.
+    """
+    fb = mel_filterbank(n_filt, n_fft, rate, low_freq, high_freq)
+    return np.concatenate([fb, fb], axis=0)
+
+
+@lru_cache(maxsize=None)
 def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     """Hann window; ``periodic=True`` matches librosa/scipy ``fftbins=True``."""
     denom = win_length if periodic else win_length - 1
