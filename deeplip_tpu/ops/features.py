@@ -66,14 +66,18 @@ class FeatureConfig:
     # NOT parity-grade; 'default' (1 bf16 pass, 7.4e-4) is the training
     # setting. Measurements: docs/precision_budget_r03.md.
     precision: str = "highest"
-    # rDFT implementation: 'matmul' (two MXU passes against cos/sin bases,
-    # at `precision`) or 'fft' (`jnp.fft.rfft` — native-f32 accuracy,
-    # immune to the bf16-pass precision tax; mel/DCT matmuls keep
-    # `precision`). MEASURED (benchmarks/precision_budget.py, trained
-    # regime, v5e): 'fft' holds the parity bar (3.4e-5) but XLA's TPU FFT
-    # at n_fft=512 is SLOWER than the 3-pass matmul (20.0 vs 13.2 ms per
-    # 256x3s batch) — the MXU beats the FFT's O(n log n) at these sizes,
-    # so 'matmul' stays the production default.
+    # rDFT implementation: 'matmul' (two MXU passes against cos/sin
+    # bases, at `precision`), 'matmul_fused' (ONE pass against the
+    # [cos|-sin] basis, re²+im² folded into a row-stacked mel matmul —
+    # 1.2x less lane-padded DFT work), or 'fft' (`jnp.fft.rfft` —
+    # native-f32 accuracy, immune to the bf16-pass precision tax; mel/DCT
+    # matmuls keep `precision`). MEASURED (benchmarks/precision_budget.py,
+    # trained regime, v5e, 256x3s batches): 'fft' holds the parity bar
+    # (2.7e-5) but XLA's n_fft=512 TPU FFT is 1.5x SLOWER end-to-end
+    # (19.9 vs 13.2 ms); 'matmul_fused' is +0.8% — real but below the
+    # rig's ~1.5% noise floor. 'matmul' stays the production default
+    # (keeps all committed parity evidence byte-valid); details in
+    # docs/precision_budget_r03.md addenda.
     dft: str = "matmul"
 
     @classmethod
