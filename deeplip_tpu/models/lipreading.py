@@ -151,8 +151,10 @@ class Lipreading(nn.Module):
         x = self.frontend_bn(x, use_running_average=not train)
         x = self.frontend_act(x)
         # XLA's reduce_window/SelectAndScatter is the best lowering here: a
-        # hand-written equality-routing VJP measured 1.75x SLOWER
-        # (benchmarks/video_attribution.py maxpool vs maxpool_vjp, r3)
+        # hand-written equality-routing VJP measured 1.75x SLOWER standalone
+        # and recovers only ~2 ms (noise floor) of the +36 ms pool/trunk
+        # composition gap when composed (benchmarks/video_attribution.py
+        # maxpool vs maxpool_vjp, pool_trunk vs poolvjp_trunk, r3)
         x = nn.max_pool(
             x, window_shape=(1, 3, 3), strides=(1, 2, 2),
             padding=[(0, 0), (1, 1), (1, 1)],
