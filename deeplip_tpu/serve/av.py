@@ -21,7 +21,7 @@ from typing import Mapping
 import numpy as np
 
 from deeplip_tpu.core.config import Config, load_fusion_config
-from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
+from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList
 from deeplip_tpu.serve.verifier import ProfileVerifier
 from deeplip_tpu.train.fusion import embed_av_items
 
@@ -81,6 +81,6 @@ class AVSpeakerVerifier(ProfileVerifier):
 
         trials = TrialList.load(trial_path)
         store = extract_pairs(self.trainer, self.cfg, trials.unique_utts)
-        eer, thr = cosine_eer(trials, store)
+        eer, thr = self._trial_eer(trials, store)
         self.threshold = float(thr)
         return float(eer), float(thr)

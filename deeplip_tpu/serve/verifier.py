@@ -18,6 +18,11 @@ Semantics (shared with :class:`deeplip_tpu.serve.av.AVSpeakerVerifier`):
   with THIS model (the same ``(eer, threshold)`` the reference's ``eer()``
   returns, ``models/audio_models/utils.py:246-249``) — or is set directly.
 - **identify**: ranked cosine against all enrolled profiles.
+- **score normalization**: with an impostor cohort set
+  (:meth:`ProfileVerifier.set_cohort`), every score — including the
+  calibrated threshold — is adaptively normalized
+  (:mod:`deeplip_tpu.eval.snorm` AS-norm), the standard production
+  technique for keeping one threshold calibrated across conditions.
 
 Batched and device-resident: enrollment/verification PCM goes through the
 same bucketed batches as the 89k-trials/sec extraction sweep, so serving
@@ -34,7 +39,7 @@ import numpy as np
 
 from deeplip_tpu.core.config import Config, load_audio_config
 from deeplip_tpu.data.audio_pipeline import EvalUtterance, EvalUtteranceSet
-from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList, cosine_eer
+from deeplip_tpu.eval.scoring import EmbeddingStore, TrialList
 from deeplip_tpu.train.audio import AudioTrainer
 
 
@@ -59,6 +64,8 @@ class ProfileVerifier:
     def __init__(self, threshold: float | None = None):
         self.threshold = threshold
         self.profiles: dict[str, np.ndarray] = {}
+        self.cohort: np.ndarray | None = None
+        self.cohort_top_k = 200
 
     def _embed_one(self, item) -> np.ndarray:
         raise NotImplementedError
@@ -78,13 +85,54 @@ class ProfileVerifier:
         self.profiles[speaker] = _l2(np.mean(embs, axis=0))
         return self.profiles[speaker]
 
+    # -- score normalization ----------------------------------------------
+    def set_cohort(self, cohort, top_k: int = 200) -> None:
+        """Enable adaptive score normalization (AS-norm,
+        :mod:`deeplip_tpu.eval.snorm`): every subsequent :meth:`score` /
+        :meth:`verify` / :meth:`identify` / :meth:`calibrate` score is
+        normalized against this impostor cohort's top-``top_k`` cosines,
+        so one threshold stays calibrated across conditions. ``cohort`` is
+        a ``(C, D)`` embedding matrix, an ``EmbeddingStore``, or a
+        ``{name: vec}`` mapping — typically embeddings of held-out
+        impostor utterances extracted with this same model. Pass ``None``
+        to return to raw cosine scoring."""
+        if cohort is None:
+            self.cohort = None
+            return
+        from deeplip_tpu.eval.snorm import cohort_matrix
+
+        self.cohort = cohort_matrix(cohort)
+        self.cohort_top_k = int(top_k)
+
+    def _pair_scores(self, emb: np.ndarray, pairs: np.ndarray) -> np.ndarray:
+        """Raw or AS-normed cosines for index ``pairs`` into ``emb`` rows."""
+        from deeplip_tpu.eval.scoring import cosine_scores
+        from deeplip_tpu.eval.snorm import asnorm_trial_scores
+
+        if self.cohort is None:
+            return np.asarray(cosine_scores(
+                np.asarray(emb, np.float32), np.asarray(pairs, np.int32)))
+        return asnorm_trial_scores(emb, pairs, self.cohort, self.cohort_top_k)
+
+    def _trial_eer(self, trials, store) -> tuple[float, float]:
+        """Trial-list (eer, threshold) under the active scoring back-end —
+        the same normalization :meth:`score` applies, so the calibrated
+        threshold and the serving scores live on one scale."""
+        from deeplip_tpu.eval.eer import eer_from_scores
+        from deeplip_tpu.eval.scoring import trial_matrix_pairs
+
+        emb, pairs = trial_matrix_pairs(trials, store)
+        return eer_from_scores(trials.labels, self._pair_scores(emb, pairs))
+
     # -- decisions -------------------------------------------------------
     def score(self, speaker: str, item) -> float:
-        """Cosine similarity between the speaker's profile and ``item``."""
+        """Similarity between the speaker's profile and ``item``: cosine,
+        or its AS-normed value when a cohort is set."""
         if speaker not in self.profiles:
             raise KeyError(f"speaker {speaker!r} is not enrolled")
         e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
-        return float(np.dot(self.profiles[speaker], e))
+        emb = np.stack([self.profiles[speaker], e])
+        return float(self._pair_scores(emb, np.asarray([[0, 1]]))[0])
 
     def verify(self, speaker: str, item) -> VerifyResult:
         if self.threshold is None:
@@ -97,12 +145,18 @@ class ProfileVerifier:
                             accept=bool(s >= self.threshold))
 
     def identify(self, item, top_k: int = 1) -> list[tuple[str, float]]:
-        """Ranked ``(speaker, score)`` over all enrolled profiles."""
+        """Ranked ``(speaker, score)`` over all enrolled profiles (scored
+        like :meth:`score`: raw cosine, or AS-normed when a cohort is set —
+        profile-side cohort stats differ per speaker, so normalization can
+        legitimately change the ranking)."""
         if not self.profiles:
             raise ValueError("no speakers enrolled")
         e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
         names = list(self.profiles)
-        scores = np.stack([self.profiles[n] for n in names]) @ e
+        emb = np.stack([self.profiles[n] for n in names] + [e])
+        pairs = np.stack([np.arange(len(names)),
+                          np.full(len(names), len(names))], axis=1)
+        scores = self._pair_scores(emb, pairs)
         order = np.argsort(-scores)[:top_k]
         return [(names[i], float(scores[i])) for i in order]
 
@@ -200,6 +254,13 @@ class SpeakerVerifier(ProfileVerifier):
         trials = TrialList.load(trial_path)
         store = self.embed_files(
             {u: os.path.join(root, u) for u in trials.unique_utts})
-        eer, thr = cosine_eer(trials, store)
+        eer, thr = self._trial_eer(trials, store)
         self.threshold = float(thr)
         return float(eer), float(thr)
+
+    def set_cohort_files(self, wav_paths: Sequence[str],
+                         top_k: int = 200) -> None:
+        """Build the AS-norm cohort by embedding ``wav_paths`` (held-out
+        impostor utterances) with this model, then :meth:`set_cohort`."""
+        store = self.embed_files({p: p for p in wav_paths})
+        self.set_cohort(store, top_k=top_k)

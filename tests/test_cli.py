@@ -582,3 +582,55 @@ def test_cli_export_torch_audio_roundtrip(tmp_path):
     assert loaded["epoch"] == 3
     np.testing.assert_array_equal(
         loaded["criterion_state_dict"]["weights"].numpy(), crit["weights"])
+
+
+def test_cli_verify_service(cli_corpus, tmp_path, capsys):
+    """deeplip-verify: enroll -> calibrate -> cohort -> verify -> identify,
+    with state persisted under the profiles dir across invocations."""
+    from deeplip_tpu.cli.verify import main
+
+    root, manifest, trial_path = cli_corpus
+    cfg_path = str(tmp_path / "audio.yaml")
+    _write_audio_config(cfg_path, root, trial_path)
+    profiles = str(tmp_path / "profiles")
+    common = ["-c", cfg_path, "-p", profiles,
+              "--exp-root", str(tmp_path / "exp")]
+
+    spk0 = [u.path for u in manifest.speakers[0]]
+    impostors = [u.path for spk in manifest.speakers[1:] for u in spk]
+
+    main(["enroll", *common, "alice", spk0[0], spk0[1]])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"enrolled": "alice", "n_utts": 2, "n_speakers": 1}
+    assert os.path.exists(os.path.join(profiles, "alice.npy"))
+
+    main(["calibrate", *common, "--trials", trial_path, "--root", root])
+    cal = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= cal["eer"] <= 1.0
+    assert os.path.exists(os.path.join(profiles, "_threshold.json"))
+
+    # verify picks up the persisted threshold (the net is random-init, so
+    # only the decision plumbing is asserted, not speaker separability)
+    main(["verify", *common, "alice", spk0[2]])
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["threshold"] == pytest.approx(cal["threshold"])
+    assert r1["accept"] == (r1["score"] >= r1["threshold"])
+
+    main(["cohort", *common, "--top-k", "4", *impostors])
+    coh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert coh == {"cohort_size": len(impostors), "top_k": 4}
+
+    # threshold was calibrated on the raw-cosine scale; recalibrate on the
+    # AS-normed scale the cohort switches scoring to
+    main(["calibrate", *common, "--trials", trial_path, "--root", root])
+    cal2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cal2["threshold"] != pytest.approx(cal["threshold"])
+
+    main(["verify", *common, "alice", spk0[2]])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["score"] != pytest.approx(r1["score"])  # normalized scale
+    assert r2["threshold"] == pytest.approx(cal2["threshold"])
+
+    main(["identify", *common, "--top-k", "1", spk0[3]])
+    ident = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ident["ranking"][0]["speaker"] == "alice"

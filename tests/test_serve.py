@@ -110,6 +110,54 @@ def test_profiles_save_load_roundtrip(verifier, tmp_path):
         np.testing.assert_allclose(v2.profiles[s], v.profiles[s], atol=1e-7)
 
 
+def test_cohort_asnorm_scoring(verifier):
+    v, utts, trial_path, root = verifier
+    saved_thr, saved_cohort = v.threshold, v.cohort
+    try:
+        speakers = list(utts)
+        for s in speakers:
+            v.enroll(s, utts[s][0])
+        s0 = speakers[0]
+        probe = utts[s0][1]
+        raw = v.score(s0, probe)
+
+        # cohort = the other speakers' utterances, embedded with this model
+        impostors = [p for s in speakers[1:] for p in utts[s]]
+        v.set_cohort_files(impostors, top_k=4)
+        assert v.cohort is not None and v.cohort.shape[0] == len(impostors)
+        normed = v.score(s0, probe)
+        assert normed != raw  # scores now live on the cohort-normalized scale
+
+        # matches the eval back-end formula exactly
+        from deeplip_tpu.eval.snorm import asnorm_trial_scores
+
+        e = np.stack([v.profiles[s0],
+                      v._embed_one(probe) / np.linalg.norm(v._embed_one(probe))])
+        expect = asnorm_trial_scores(e, np.asarray([[0, 1]]), v.cohort, top_k=4)
+        assert normed == pytest.approx(float(expect[0]), abs=1e-6)
+
+        # identify ranks on the same normalized scale (the winner may differ
+        # from raw cosine — per-profile cohort stats shift scores, and this
+        # net is random-init — but s0's entry must equal score())
+        top = v.identify(probe, top_k=len(speakers))
+        assert len(top) == len(speakers)
+        assert top[0][1] >= top[-1][1]
+        assert dict(top)[s0] == pytest.approx(normed, abs=1e-6)
+
+        # calibrate under the cohort: threshold lands on the normalized
+        # scale (same scale verify() compares against)
+        eer, thr = v.calibrate(trial_path, root)
+        assert np.isfinite(thr) and 0.0 <= eer <= 1.0
+        r = v.verify(s0, probe)
+        assert r.threshold == thr and r.score == pytest.approx(normed, abs=1e-6)
+
+        # cohort off -> raw cosine again
+        v.set_cohort(None)
+        assert v.score(s0, probe) == pytest.approx(raw, abs=1e-6)
+    finally:
+        v.threshold, v.cohort = saved_thr, saved_cohort
+
+
 def _make_av_setup(tmp_path):
     import yaml as _yaml
 
