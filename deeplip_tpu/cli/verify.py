@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -38,25 +39,79 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exp-root", default="exp")
 
 
+def _warn(msg: str) -> None:
+    print(f"deeplip-verify: warning: {msg}", file=sys.stderr)
+
+
+def _model_identity(args) -> dict:
+    """The (config, checkpoint) pair that defines the embedding space.
+    State files record it so a later invocation with a different model
+    can be warned that the persisted cohort/threshold no longer apply."""
+    return {
+        "config": os.path.abspath(args.config),
+        "checkpoint": os.path.abspath(args.checkpoint)
+        if args.checkpoint else None,
+    }
+
+
+def _check_identity(kind: str, recorded: dict, args) -> None:
+    current = _model_identity(args)
+    for key in ("config", "checkpoint"):
+        if key in recorded and recorded[key] != current[key]:
+            _warn(
+                f"{kind} was built with {key}={recorded[key]!r} but this "
+                f"invocation uses {key}={current[key]!r} — embeddings come "
+                f"from a different space; rebuild it with the current model")
+
+
 def _make_verifier(args, need_profiles: bool = True):
     from deeplip_tpu.serve import SpeakerVerifier
+    from deeplip_tpu.serve.verifier import cohort_fingerprint
 
+    if need_profiles and not os.path.isdir(args.profiles):
+        raise SystemExit(f"profiles dir {args.profiles!r} does not exist")
     v = SpeakerVerifier(args.config, checkpoint=args.checkpoint,
                         exp_root=args.exp_root,
                         threshold=getattr(args, "threshold", None))
+    explicit_threshold = v.threshold is not None
     if os.path.isdir(args.profiles):
         v.load_profiles(args.profiles)
-    elif need_profiles:
-        raise SystemExit(f"profiles dir {args.profiles!r} does not exist")
-    tf = os.path.join(args.profiles, "_threshold.json")
-    if v.threshold is None and os.path.exists(tf):
-        with open(tf) as f:
-            v.threshold = float(json.load(f)["threshold"])
+    # cohort FIRST: set_cohort switches the scoring scale (and clears any
+    # threshold), then the persisted threshold is applied only if it was
+    # calibrated on that same scale (fingerprint match).
     cf = os.path.join(args.profiles, "_cohort.npz")
     if os.path.exists(cf):
-        with np.load(cf) as z:
+        with np.load(cf, allow_pickle=True) as z:
             v.set_cohort(z["cohort"], top_k=int(z["top_k"]))
+            if "identity" in z:
+                _check_identity("_cohort.npz", json.loads(str(z["identity"])),
+                                args)
+    tf = os.path.join(args.profiles, "_threshold.json")
+    if not explicit_threshold and os.path.exists(tf):
+        with open(tf) as f:
+            rec = json.load(f)
+        _check_identity("_threshold.json", rec, args)
+        active_fp = cohort_fingerprint(v.cohort, v.cohort_top_k)
+        if rec.get("cohort_fp", active_fp) != active_fp:
+            _warn(
+                "_threshold.json was calibrated on a different scoring "
+                "scale (cohort changed since) — ignoring the stale "
+                "threshold; run `calibrate` again")
+        else:
+            v.threshold = float(rec["threshold"])
+    elif explicit_threshold:
+        v.threshold = getattr(args, "threshold")  # --threshold overrides
     return v
+
+
+def _save_threshold(args, v, eer: float, thr: float, trials: str) -> None:
+    from deeplip_tpu.serve.verifier import cohort_fingerprint
+
+    rec = {"threshold": thr, "eer": eer, "trials": os.path.abspath(trials),
+           "cohort_fp": cohort_fingerprint(v.cohort, v.cohort_top_k),
+           **_model_identity(args)}
+    with open(os.path.join(args.profiles, "_threshold.json"), "w") as f:
+        json.dump(rec, f)
 
 
 def _emit(obj) -> None:
@@ -100,7 +155,10 @@ def main(argv=None) -> None:
     ph.add_argument("wavs", nargs="+")
 
     args = p.parse_args(argv)
-    os.makedirs(args.profiles, exist_ok=True)
+    # only state-WRITING commands create the dir; verify/identify require an
+    # existing one (a typo'd --profiles must error, not make an empty dir)
+    if args.cmd in ("enroll", "calibrate", "cohort"):
+        os.makedirs(args.profiles, exist_ok=True)
 
     if args.cmd == "enroll":
         v = _make_verifier(args, need_profiles=False)
@@ -120,15 +178,14 @@ def main(argv=None) -> None:
     elif args.cmd == "calibrate":
         v = _make_verifier(args, need_profiles=False)
         eer, thr = v.calibrate(args.trials, args.root)
-        with open(os.path.join(args.profiles, "_threshold.json"), "w") as f:
-            json.dump({"threshold": thr, "eer": eer,
-                       "trials": os.path.abspath(args.trials)}, f)
+        _save_threshold(args, v, eer, thr, args.trials)
         _emit({"eer": eer, "threshold": thr})
     else:  # cohort
         v = _make_verifier(args, need_profiles=False)
         v.set_cohort_files(list(args.wavs), top_k=args.top_k)
         np.savez(os.path.join(args.profiles, "_cohort.npz"),
-                 cohort=v.cohort, top_k=np.asarray(args.top_k))
+                 cohort=v.cohort, top_k=np.asarray(args.top_k),
+                 identity=np.asarray(json.dumps(_model_identity(args))))
         _emit({"cohort_size": int(v.cohort.shape[0]), "top_k": args.top_k})
 
 

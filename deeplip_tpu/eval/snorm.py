@@ -58,7 +58,14 @@ def cohort_topk_stats(
     cohort (all-identical scores) cannot produce inf/NaN.
     """
     k = min(int(top_k), cohort.shape[0])
-    scores = _unit(embeddings) @ _unit(cohort).T  # (N, C) — one MXU matmul
+    # pinned precision: TPU f32 matmuls default to single-pass bf16, and sd
+    # is a small difference of clustered cohort scores — bf16 rounding would
+    # shift normalized scores/thresholds (same pin as losses/triplet.py:31;
+    # the extraction path wraps in default_matmul_precision('high')).
+    scores = jnp.matmul(
+        _unit(embeddings), _unit(cohort).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, C) — one MXU matmul
     top, _ = jax.lax.top_k(scores, k)
     mu = jnp.mean(top, axis=-1)
     sd = jnp.sqrt(jnp.mean(jnp.square(top - mu[:, None]), axis=-1))

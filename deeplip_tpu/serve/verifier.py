@@ -55,6 +55,23 @@ def _l2(v: np.ndarray) -> np.ndarray:
     return v / max(float(np.linalg.norm(v)), 1e-12)
 
 
+def cohort_fingerprint(cohort: np.ndarray | None, top_k: int = 200) -> str | None:
+    """Stable identity of an AS-norm scoring scale: a short hash of the
+    cohort matrix bytes + ``top_k`` (``None`` = raw-cosine scoring).
+    Thresholds are only valid on the scale they were calibrated on, so
+    persisted thresholds carry this fingerprint and loaders refuse a
+    threshold whose fingerprint does not match the active cohort."""
+    if cohort is None:
+        return None
+    import hashlib
+
+    m = np.ascontiguousarray(np.asarray(cohort, np.float32))
+    h = hashlib.sha256(m.tobytes())
+    h.update(str(m.shape).encode())
+    h.update(str(int(top_k)).encode())
+    return h.hexdigest()[:16]
+
+
 class ProfileVerifier:
     """Enrollment-profile store + cosine decisions, embedding-agnostic.
 
@@ -95,14 +112,23 @@ class ProfileVerifier:
         a ``(C, D)`` embedding matrix, an ``EmbeddingStore``, or a
         ``{name: vec}`` mapping — typically embeddings of held-out
         impostor utterances extracted with this same model. Pass ``None``
-        to return to raw cosine scoring."""
+        to return to raw cosine scoring.
+
+        Changing the cohort changes the scoring SCALE, so any operating
+        threshold (calibrated on the previous scale) is invalidated:
+        ``self.threshold`` is reset to ``None`` and :meth:`verify` refuses
+        to decide until :meth:`calibrate` runs again (or a threshold known
+        to belong to the new scale is set explicitly)."""
         if cohort is None:
+            if self.cohort is not None:
+                self.threshold = None  # normalized-scale threshold is stale
             self.cohort = None
             return
         from deeplip_tpu.eval.snorm import cohort_matrix
 
         self.cohort = cohort_matrix(cohort)
         self.cohort_top_k = int(top_k)
+        self.threshold = None  # raw-scale threshold is stale on this scale
 
     def _pair_scores(self, emb: np.ndarray, pairs: np.ndarray) -> np.ndarray:
         """Raw or AS-normed cosines for index ``pairs`` into ``emb`` rows."""

@@ -620,8 +620,15 @@ def test_cli_verify_service(cli_corpus, tmp_path, capsys):
     coh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert coh == {"cohort_size": len(impostors), "top_k": 4}
 
-    # threshold was calibrated on the raw-cosine scale; recalibrate on the
-    # AS-normed scale the cohort switches scoring to
+    # the persisted threshold was calibrated on the raw-cosine scale; the
+    # cohort switched scoring to the AS-normed scale, so the loader must
+    # refuse the stale threshold (fingerprint mismatch) and verify must
+    # fail cleanly instead of deciding against a wrong-scale threshold
+    with pytest.raises(ValueError, match="no operating threshold"):
+        main(["verify", *common, "alice", spk0[2]])
+    capsys.readouterr()
+
+    # recalibrate on the AS-normed scale
     main(["calibrate", *common, "--trials", trial_path, "--root", root])
     cal2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cal2["threshold"] != pytest.approx(cal["threshold"])
@@ -634,3 +641,25 @@ def test_cli_verify_service(cli_corpus, tmp_path, capsys):
     main(["identify", *common, "--top-k", "1", spk0[3]])
     ident = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ident["ranking"][0]["speaker"] == "alice"
+
+    # a cohort built under a different model identity (config/checkpoint
+    # path) warns on later use: its embeddings may come from another space
+    import shutil
+
+    cfg2 = str(tmp_path / "audio_other.yaml")
+    shutil.copy(cfg_path, cfg2)
+    main(["cohort", "-c", cfg2, "-p", profiles,
+          "--exp-root", str(tmp_path / "exp"), "--top-k", "4", *impostors])
+    capsys.readouterr()
+    main(["calibrate", *common, "--trials", trial_path, "--root", root])
+    err = capsys.readouterr().err
+    assert "config" in err and "different" in err
+
+    # a typo'd --profiles path on read-only commands must error cleanly,
+    # NOT create an empty dir and fail with a raw KeyError
+    missing = str(tmp_path / "no_such_profiles")
+    with pytest.raises(SystemExit, match="does not exist"):
+        main(["verify", "-c", cfg_path, "-p", missing,
+              "--exp-root", str(tmp_path / "exp"), "alice", spk0[2]])
+    assert not os.path.exists(missing)
+    capsys.readouterr()

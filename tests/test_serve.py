@@ -125,6 +125,10 @@ def test_cohort_asnorm_scoring(verifier):
         impostors = [p for s in speakers[1:] for p in utts[s]]
         v.set_cohort_files(impostors, top_k=4)
         assert v.cohort is not None and v.cohort.shape[0] == len(impostors)
+        # switching scoring scales invalidates any raw-scale threshold
+        assert v.threshold is None
+        with pytest.raises(ValueError, match="no operating threshold"):
+            v.verify(s0, probe)
         normed = v.score(s0, probe)
         assert normed != raw  # scores now live on the cohort-normalized scale
 
