@@ -15,6 +15,13 @@ Discriminant Analysis" (ECCV 2006) with the closed-form ML fit:
 4. latent projection ``u = A^{-1}(x - m)`` where within-class noise is
    standard normal and class centers are ``N(0, diag(Ψ))``.
 
+Golden parity (r4): fit internals (mean, Ψ), latent axes, per-trial LLRs,
+and protocol EER are tested against a vendored reconstruction of the
+``plda`` package (``tests/third_party/plda``;
+``tests/test_eval.py::test_plda_matches_package_oracle``) — LLRs agree to
+<1e-8 relative, EER bit-equal, including the degenerate
+``rank(S_b) < n_principal_components`` case (zero-Ψ dims).
+
 Scoring is the exact two-point LLR, vectorized over trial pairs (one
 elementwise pass — no per-trial Python loop):
 

@@ -201,3 +201,101 @@ def test_npy_tree_strips_suffix_only(tmp_path):
 
 def test_plda_eer_exported():
     from deeplip_tpu.eval import plda_eer  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# PLDA parity vs the reconstructed `plda` package (the reference's backend)
+# ---------------------------------------------------------------------------
+
+def _plda_dev_eval(n_spk, utts_per_spk, dim, seed, n_eval_spk=10,
+                   n_pairs=400):
+    """LOMGRID-dev-shaped synthetic data: a dev set to fit PLDA on and a
+    disjoint eval set with labeled trial pairs (same/diff speakers)."""
+    rng = np.random.default_rng(seed)
+    centers = 2.0 * rng.standard_normal((n_spk + n_eval_spk, dim))
+    within = rng.standard_normal((dim, dim)) * 0.1 + np.eye(dim) * 0.6
+
+    def draw(s, n):
+        return centers[s] + rng.standard_normal((n, dim)) @ within
+
+    dev_x = np.concatenate([draw(s, utts_per_spk) for s in range(n_spk)])
+    dev_y = np.repeat(np.arange(n_spk), utts_per_spk)
+    eval_x = np.concatenate(
+        [draw(n_spk + s, 4) for s in range(n_eval_spk)])
+    eval_spk = np.repeat(np.arange(n_eval_spk), 4)
+    pairs = rng.integers(0, len(eval_x), (n_pairs, 2))
+    labels = (eval_spk[pairs[:, 0]] == eval_spk[pairs[:, 1]]).astype(np.int8)
+    return dev_x, dev_y, eval_x, pairs, labels
+
+
+@pytest.mark.parametrize(
+    "n_spk,dim,n_pc",
+    [
+        (24, 64, 20),   # the reference recipe shape: PCA 20 < dim, all Ψ>0
+        (12, 64, 20),   # rank(S_b)=11 < 20 latent dims -> zero-Ψ dims exist
+        (10, 16, None),  # no PCA branch
+    ],
+)
+def test_plda_matches_package_oracle(n_spk, dim, n_pc):
+    """`eval/plda.py` must reproduce the `plda` package's protocol — the
+    reference fits `plda.Classifier().fit_model(X, y,
+    n_principal_components=20)` then scores trial pairs with
+    `model.transform(..., 'D'->'U_model')` +
+    `calc_same_diff_log_likelihood_ratio`
+    (`/root/reference/train_audio.py:339-341`,
+    `models/audio_models/utils.py:296-301`). The oracle is the vendored
+    package reconstruction (`tests/third_party/plda`, Ioffe-2006
+    closed-form fit). Fit internals (Ψ, mean) and per-trial LLRs must
+    match; latent dims are compared through LLRs because per-dim latent
+    signs are an eigenvector convention, invisible to the protocol."""
+    from tests.third_party import plda as plda_pkg
+
+    dev_x, dev_y, eval_x, pairs, labels = _plda_dev_eval(
+        n_spk, 15, dim, seed=42 + n_spk)
+
+    clf = plda_pkg.Classifier()
+    clf.fit_model(dev_x, dev_y, n_principal_components=n_pc)
+    ours = PLDA().fit(dev_x, dev_y, n_principal_components=n_pc)
+
+    # ---- fit internals -------------------------------------------------
+    # D-space mean: ours stores it directly; the package's lives in its
+    # sklearn PCA (or, with no PCA, in the X-space m).
+    if n_pc is not None and n_pc < dim:
+        np.testing.assert_allclose(ours.mean, clf.model.pca.mean_,
+                                   rtol=0, atol=1e-12)
+    else:
+        np.testing.assert_allclose(ours.mean, clf.model.m, rtol=0, atol=1e-12)
+
+    # prior variances Ψ: both orderings are ascending-eigenvalue, so the
+    # vectors are elementwise comparable (package keeps the diagonal matrix)
+    psi_pkg = clf.model.Psi.diagonal()
+    np.testing.assert_allclose(ours.psi, psi_pkg, rtol=1e-6, atol=1e-8)
+    if n_pc is not None and n_spk - 1 < n_pc:
+        assert (psi_pkg == 0).sum() >= n_pc - (n_spk - 1)  # zero-Ψ dims real
+
+    # A^{-1}: latent axes match up to per-dim sign (eigenvector convention)
+    # on the Ψ>0 dims. The Ψ=0 subspace is a degenerate eigenspace — any
+    # orthogonal basis of it is a valid convention — and the package drops
+    # those dims from 'U_model' anyway (they carry zero LLR weight).
+    u_pkg = clf.model.transform(eval_x, from_space='D', to_space='U')
+    u_ours = ours.transform(eval_x)
+    live = psi_pkg > 0
+    signs = np.sign(np.sum(u_pkg * u_ours, axis=0))
+    np.testing.assert_allclose((u_ours * signs)[:, live], u_pkg[:, live],
+                               rtol=1e-5, atol=1e-7)
+
+    # ---- per-trial LLRs, exactly the reference's scoring loop -----------
+    u_model = clf.model.transform(eval_x, from_space='D', to_space='U_model')
+    want = np.array([
+        clf.model.calc_same_diff_log_likelihood_ratio(
+            u_model[i][None], u_model[j][None])
+        for i, j in pairs
+    ])
+    got = ours.score_pairs(eval_x[pairs[:, 0]], eval_x[pairs[:, 1]])
+    scale = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / scale) < 1e-8
+
+    # ---- protocol EER equality ------------------------------------------
+    eer_pkg, _ = eer_from_scores(labels, want)
+    eer_ours, _ = eer_from_scores(labels, got)
+    assert eer_pkg == eer_ours
