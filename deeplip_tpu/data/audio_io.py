@@ -6,9 +6,10 @@ reads (``models/audio_models/datasets.py:46-50``) and resamples GRID's
 Neither library is present here; WAV parsing is implemented directly (PCM
 16/24/32-bit and float32, via the stdlib ``wave`` header parser + NumPy
 frame decode) with the same conventions: float32 in [-1, 1), channel 0 of
-multi-channel files, ``start``/``stop`` sample offsets. Resampling is
-polyphase (scipy), applied offline/host-side — it feeds the manifest stage,
-never the device hot path. A C++ batched decoder (deeplip_tpu/native) can
+multi-channel files, ``start``/``stop`` sample offsets. Resampling defaults to the reference's
+exact kaiser_best windowed sinc (librosa→resampy; scipy polyphase kept as
+an option), applied offline/host-side — it feeds the manifest stage, never
+the device hot path. A C++ batched decoder (deeplip_tpu/native) can
 replace the Python inner loop for manifest-scale prep.
 """
 
@@ -136,14 +137,126 @@ def write_wav(path: str, data: np.ndarray, rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
-def resample(data: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
-    """Polyphase resampling (offline prep; ≙ librosa.resample usage at
-    ``datasets.py:462``)."""
+def resample(
+    data: np.ndarray, orig_rate: int, target_rate: int,
+    method: str = "kaiser_best",
+) -> np.ndarray:
+    """Resample 1-D audio (offline prep; ≙ ``librosa.resample`` at
+    ``/root/reference/models/audio_models/datasets.py:462``).
+
+    ``method='kaiser_best'`` (default) is the reference's exact resampler:
+    librosa(≤0.9)'s default delegates to resampy's ``kaiser_best``
+    windowed-sinc filter. Implemented here as a vectorized NumPy polyphase
+    evaluation of that algorithm and golden-tested against a loop-faithful
+    transcription of resampy's kernel (``tests/third_party/resampy``).
+    ``method='polyphase'`` keeps the r1-r3 scipy ``resample_poly`` path
+    (different FIR design; PARITY.md records the measured embedding-level
+    cost of that deviation).
+    """
     if orig_rate == target_rate:
         return data
+    if method == "kaiser_best":
+        return _resample_sinc(
+            np.asarray(data, np.float64), orig_rate, target_rate
+        ).astype(np.float32)
+    if method != "polyphase":
+        raise ValueError(f"unknown resample method {method!r}")
     from math import gcd
 
     from scipy.signal import resample_poly
 
     g = gcd(orig_rate, target_rate)
     return resample_poly(data, target_rate // g, orig_rate // g).astype(np.float32)
+
+
+def resampled_length(n_samples: int, orig_rate: int, target_rate: int) -> int:
+    """Output length of :func:`resample`: ``ceil(n * target/orig)`` — the
+    resampy/librosa convention (``int(np.ceil(n * sample_ratio))``), which
+    equals scipy ``resample_poly``'s exact integer ceil at audio ratios."""
+    if orig_rate == target_rate:
+        return int(n_samples)
+    from math import gcd
+
+    g = gcd(orig_rate, target_rate)
+    return -(-int(n_samples) * (target_rate // g) // (orig_rate // g))
+
+
+# resampy's kaiser_best filter-design constants (resampy/filters.py): a
+# windowed-sinc lowpass sampled at 2**precision points per zero crossing,
+# 64 zero crossings per wing, Kaiser taper, passband rolloff just below
+# Nyquist. The reference's librosa.resample call resolves to this filter.
+_KAISER_BEST = dict(
+    num_zeros=64,
+    precision=9,
+    beta=14.769656459379492,
+    rolloff=0.9475937167399596,
+)
+
+
+def _sinc_window(num_zeros: int, precision: int, beta: float,
+                 rolloff: float) -> np.ndarray:
+    """Right half (including center tap) of the windowed-sinc filter,
+    resampy ``filters.sinc_window``: ``rolloff·sinc(rolloff·t)`` on
+    ``t = linspace(0, num_zeros, 2**precision·num_zeros + 1)`` tapered by
+    the matching half of a symmetric Kaiser window."""
+    from scipy.signal.windows import kaiser
+
+    n = (2 ** precision) * num_zeros
+    sinc_win = rolloff * np.sinc(
+        rolloff * np.linspace(0, num_zeros, num=n + 1, endpoint=True))
+    taper = kaiser(2 * n + 1, beta)[n:]
+    return sinc_win * taper
+
+
+def _resample_sinc(x: np.ndarray, sr_orig: int, sr_new: int,
+                   block: int = 8192) -> np.ndarray:
+    """Vectorized evaluation of resampy's ``resample_f`` kernel (core.py of
+    resampy 0.2.x, the version the reference's librosa era ships): for each
+    output time ``t/ratio``, accumulate left/right filter wings over the
+    input, with the filter table linearly interpolated between its
+    ``2**precision``-per-zero-crossing samples. Processes output samples in
+    blocks of ``block`` to bound the (t × taps) intermediate at ~25 MB."""
+    p = _KAISER_BEST
+    num_table = 2 ** p["precision"]
+    ratio = float(sr_new) / sr_orig
+    interp_win = _sinc_window(**p)
+    if ratio < 1.0:
+        interp_win = interp_win * ratio
+    interp_delta = np.zeros_like(interp_win)
+    interp_delta[:-1] = np.diff(interp_win)
+    nwin = interp_win.shape[0]
+    scale = min(1.0, ratio)
+    index_step = int(scale * num_table)
+    time_increment = 1.0 / ratio
+
+    n_orig = x.shape[0]
+    n_out = int(np.ceil(n_orig * ratio))
+    y = np.empty(n_out, np.float64)
+    # resampy accumulates time_register += time_increment per sample;
+    # cumsum reproduces that exact sequential f64 fold
+    time_register = np.empty(n_out, np.float64)
+    time_register[0] = 0.0
+    np.cumsum(np.full(n_out - 1, time_increment), out=time_register[1:])
+
+    max_taps = nwin // index_step + 1
+    taps = np.arange(max_taps)[None, :]  # (1, I)
+    for lo in range(0, n_out, block):
+        tr = time_register[lo : lo + block]
+        n = tr.astype(np.int64)  # floor: tr >= 0
+        frac = scale * (tr - n)
+
+        def wing(frac_w, x_idx, i_cap):
+            index_frac = frac_w * num_table
+            offset = index_frac.astype(np.int64)
+            eta = (index_frac - offset)[:, None]
+            i_max = np.minimum(i_cap, (nwin - offset) // index_step)
+            valid = taps < i_max[:, None]
+            widx = np.minimum(offset[:, None] + taps * index_step, nwin - 1)
+            w = interp_win[widx] + eta * interp_delta[widx]
+            xs = x[np.clip(x_idx, 0, n_orig - 1)]
+            return np.einsum("ti,ti->t", np.where(valid, w, 0.0), xs)
+
+        left = wing(frac, n[:, None] - taps, n + 1)
+        right = wing(scale - frac, n[:, None] + taps + 1, n_orig - n - 1)
+        y[lo : lo + block] = left + right
+    return y

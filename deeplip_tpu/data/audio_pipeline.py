@@ -175,16 +175,15 @@ class EvalUtteranceSet:
                 y, rate = self.reader(utt.path)
                 n = len(y)
         if rate != self.rate:
-            # exact resample_poly output length: ceil(n * up / down) after
-            # gcd reduction (== audio_io.resample, ≙ librosa.resample at
-            # /root/reference/models/audio_models/datasets.py:462) — a
-            # truncating estimate was ±1 sample off on e.g. the GRID 44.1 kHz
-            # path, which could put an utterance one feature-frame short
-            from math import gcd
+            # exact resample output length: ceil(n · target/orig) — the
+            # resampy/librosa convention audio_io.resample implements (≙
+            # librosa.resample at /root/reference/models/audio_models/
+            # datasets.py:462; scipy resample_poly produces the same count).
+            # A truncating estimate was ±1 sample off on e.g. the GRID
+            # 44.1 kHz path, which could put an utterance one frame short.
+            from deeplip_tpu.data.audio_io import resampled_length
 
-            g = gcd(rate, self.rate)
-            up, down = self.rate // g, rate // g
-            n = -(-n * up // down)
+            n = resampled_length(n, rate, self.rate)
         return utt, n
 
     def _assemble(self, chunk: list[tuple[EvalUtterance, int, int]]) -> dict:

@@ -1,0 +1,68 @@
+"""Resampling parity: the GRID 44.1 kHz→16 kHz leg.
+
+The reference resamples GRID audio with ``librosa.resample`` — resampy's
+``kaiser_best`` windowed sinc in the librosa versions the reference ran
+(`/root/reference/models/audio_models/datasets.py:462`). The production
+resampler (``audio_io.resample(method='kaiser_best')``) is a vectorized
+evaluation of that exact kernel; the oracle here is the loop-faithful
+per-sample transcription vendored under ``tests/third_party/resampy``.
+"""
+
+import numpy as np
+import pytest
+
+from deeplip_tpu.data.audio_io import resample, resampled_length
+from tests.third_party import resampy as resampy_oracle
+
+
+@pytest.mark.parametrize(
+    "sr_orig,sr_new,n",
+    [
+        (44100, 16000, 4410),   # the GRID leg (awkward 160/441 ratio)
+        (44100, 16000, 4409),   # non-integral output boundary
+        (22050, 16000, 2206),   # the 22.05 kHz leg
+        (8000, 16000, 1600),    # upsample: ratio > 1 branch (no win scaling)
+    ],
+)
+def test_kaiser_best_matches_resampy_oracle(sr_orig, sr_new, n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal(n) * 0.3).astype(np.float64)
+    want = resampy_oracle.resample(x, sr_orig, sr_new)
+    got = resample(x, sr_orig, sr_new, method="kaiser_best")
+    assert got.shape == want.shape == (resampled_length(n, sr_orig, sr_new),)
+    # float32 output vs the f64 oracle: agreement to output-rounding only
+    assert np.max(np.abs(got - want.astype(np.float32))) <= 2e-7
+
+
+def test_kaiser_best_filter_response():
+    """Passband tone preserved, above-Nyquist tone suppressed (the
+    anti-aliasing property that makes downsampled features meaningful)."""
+    sr, n = 44100, 44100
+    t = np.arange(n) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t)
+    y = resample(tone, sr, 16000)
+    t16 = np.arange(len(y)) / 16000.0
+    want = np.sin(2 * np.pi * 1000.0 * t16)
+    interior = slice(200, len(y) - 200)  # skip filter edge transients
+    # kaiser_best's own accuracy class: ~-50 dB linear-interp/table error
+    # (measured 2.8e-3 at 1 kHz — a property of the reference's resampler,
+    # not of this implementation; the oracle test above is the parity bar)
+    assert np.max(np.abs(y[interior] - want[interior])) < 5e-3
+
+    alias = np.sin(2 * np.pi * 10000.0 * t)  # above the 16 kHz Nyquist
+    y2 = resample(alias, sr, 16000)
+    assert np.max(np.abs(y2[interior])) < 1e-3
+
+
+def test_resample_methods_and_lengths():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(13230).astype(np.float32)
+    k = resample(x, 44100, 16000, method="kaiser_best")
+    p = resample(x, 44100, 16000, method="polyphase")
+    assert len(k) == len(p) == resampled_length(13230, 44100, 16000)
+    # two genuinely different FIR designs (guards against silent fallback)
+    assert np.max(np.abs(k - p)) > 1e-4
+    # no-op path returns the input untouched
+    assert resample(x, 16000, 16000) is x
+    with pytest.raises(ValueError, match="unknown resample method"):
+        resample(x, 44100, 16000, method="nearest")
