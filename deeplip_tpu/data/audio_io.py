@@ -93,10 +93,16 @@ def _read_wav_riff(path, start, stop, mono):
             cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             if cid == b"fmt ":
                 buf = f.read(size)
+                if len(buf) < 16:
+                    raise ValueError(f"{path}: truncated fmt chunk")
                 fmt, channels, rate = struct.unpack("<HHI", buf[:8])
                 bits = struct.unpack("<H", buf[14:16])[0]
                 if fmt == 0xFFFE and size >= 40:  # EXTENSIBLE: subformat tag
                     fmt = struct.unpack("<H", buf[24:26])[0]
+                # a zero/bogus width would divide by zero at the data chunk
+                if channels < 1 or bits not in (8, 16, 24, 32):
+                    raise ValueError(
+                        f"{path}: bad wav format ({channels} ch, {bits}-bit)")
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError(f"{path}: data before fmt chunk")

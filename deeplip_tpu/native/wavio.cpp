@@ -43,6 +43,7 @@ bool parse_header(FILE* f, WavInfo* info) {
     if (memcmp(id, "fmt ", 4) == 0) {
       unsigned char buf[40];
       uint32_t n = size < sizeof(buf) ? size : (uint32_t)sizeof(buf);
+      if (n < 16) return false;  // canonical fmt chunk is >= 16 bytes
       if (fread(buf, 1, n, f) != n) return false;
       if (size > n) fseek(f, size - n, SEEK_CUR);
       info->format = (uint16_t)(buf[0] | buf[1] << 8);
@@ -55,7 +56,14 @@ bool parse_header(FILE* f, WavInfo* info) {
     } else if (memcmp(id, "data", 4) == 0) {
       info->data_offset = ftell(f);
       info->data_bytes = size;
-      return info->format != 0 && info->channels > 0;
+      // validate the format/width combination HERE: a zero or bogus bits
+      // value would otherwise make frame_bytes 0 downstream — an integer
+      // division by zero (SIGFPE: process death, not a Python exception)
+      bool pcm_ok = info->format == 1 &&
+                    (info->bits == 8 || info->bits == 16 ||
+                     info->bits == 24 || info->bits == 32);
+      bool f32_ok = info->format == 3 && info->bits == 32;
+      return (pcm_ok || f32_ok) && info->channels > 0;
     } else {
       fseek(f, size + (size & 1), SEEK_CUR);
     }

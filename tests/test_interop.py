@@ -307,3 +307,82 @@ def test_fusion_head_checkpoint_import_without_reference_package(tmp_path):
     np.testing.assert_allclose(
         np.asarray(trainer.state.params["criterion"]["fc"]["kernel"]),
         crit.fc.weight.detach().numpy().T)
+
+
+def test_kaldi_byte_golden(tmp_path):
+    """Verify interop.kaldi against BYTES, not itself: a checked-in ark/scp
+    fixture hand-encoded per the Kaldi binary-table spec (the format the
+    reference's kaldiio calls parse, `/root/reference/models/audio_models/
+    utils.py:176-232`; kaldi-asr `Matrix::Write` + `WriteBasicType`):
+    ``<utt> ' ' '\\0' 'B' <'FM '|'FV '> ('\\x04' <int32-LE dim>)* <f4 data>``.
+    A wrong-but-self-consistent encoding passes round-trip tests; it cannot
+    pass this one. (The kaldiio cross-check above self-skips here.)"""
+    import os
+    import struct
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    ark_path = os.path.join(fixtures, "kaldi_golden.ark")
+    golden = open(ark_path, "rb").read()
+
+    # 1. the fixture itself re-derives from spec constants (self-validating)
+    m1 = np.array([[1.0, -2.5, 3.25], [0.5, 0.0, -1.0]], np.float32)
+    v1 = np.array([0.25, -0.5, 1.0, 2.0], np.float32)
+    m2 = np.array([[7.0, 0.125]], np.float32)
+    want = b""
+    want += b"utt1 " + b"\x00BFM " + b"\x04" + struct.pack("<i", 2)
+    want += b"\x04" + struct.pack("<i", 3) + m1.astype("<f4").tobytes()
+    want += b"spk_a-003 " + b"\x00BFV " + b"\x04" + struct.pack("<i", 4)
+    want += v1.astype("<f4").tobytes()
+    want += b"utt2 " + b"\x00BFM " + b"\x04" + struct.pack("<i", 1)
+    want += b"\x04" + struct.pack("<i", 2) + m2.astype("<f4").tobytes()
+    assert golden == want
+
+    # 2. the reader decodes the hand-encoded bytes (sequential ark pass)
+    from deeplip_tpu.interop.kaldi import read_ark_entry
+
+    got = dict(read_ark(ark_path))
+    assert list(got) == ["utt1", "spk_a-003", "utt2"]
+    np.testing.assert_array_equal(got["utt1"], m1)
+    np.testing.assert_array_equal(got["spk_a-003"], v1)
+    np.testing.assert_array_equal(got["utt2"], m2)
+
+    # 3. the checked-in scp offsets point at the records
+    scp_path = os.path.join(fixtures, "kaldi_golden.scp")
+    for line in open(scp_path):
+        utt, loc = line.split()
+        off = int(loc.rsplit(":", 1)[1])
+        assert golden[off : off + 2] == b"\x00B"
+        np.testing.assert_array_equal(read_ark_entry(ark_path, off), got[utt])
+
+    # 4. the writer byte-reproduces the golden ark exactly
+    out_ark = str(tmp_path / "rewrite.ark")
+    out_scp = str(tmp_path / "rewrite.scp")
+    write_ark_scp({"utt1": m1, "spk_a-003": v1, "utt2": m2}, out_ark, out_scp)
+    assert open(out_ark, "rb").read() == golden
+    offs = [int(ln.rsplit(":", 1)[1]) for ln in open(out_scp)]
+    assert offs == [5, 54, 85]
+
+
+def test_kaldi_reader_rejects_corrupt_records(tmp_path):
+    """Mutated/truncated ark bytes raise clean ValueErrors, never return
+    garbage arrays."""
+    import struct
+
+    good = (b"u " + b"\x00BFV " + b"\x04" + struct.pack("<i", 2)
+            + np.array([1.0, 2.0], "<f4").tobytes())
+
+    def _write(data):
+        p = str(tmp_path / "c.ark")
+        open(p, "wb").write(data)
+        return p
+
+    # bad binary marker
+    with pytest.raises(ValueError, match="binary marker"):
+        list(read_ark(_write(b"u " + b"\x01BFV " + good[4:])))
+    # unknown type token
+    with pytest.raises(ValueError, match="type token"):
+        list(read_ark(_write(b"u " + b"\x00BXY " + good[6:])))
+    # bad dim-size marker
+    with pytest.raises(ValueError, match="size marker"):
+        list(read_ark(_write(b"u " + b"\x00BFV " + b"\x08"
+                             + struct.pack("<i", 2))))

@@ -1,5 +1,7 @@
 """Native C++ WAV decoder vs the pure-Python reader."""
 
+import wave
+
 import numpy as np
 import pytest
 
@@ -160,3 +162,134 @@ def test_native_npy_short_buffer_errors(tmp_path):
             ctypes.byref(ndim), descr,
         )
         assert rc == arr.nbytes
+
+
+# ---------------------------------------------------------------------------
+# Robustness: truncated/mutated RIFF and npz inputs must raise clean Python
+# errors (or report per-file error codes), never crash or return garbage —
+# the r2 advisor's short-buffer fix, extended to a property suite (r4).
+# ---------------------------------------------------------------------------
+
+def _good_wav_bytes(n=2000, rate=16000, bits=16, channels=1):
+    import io
+    import struct
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(n * channels) * 8000).astype("<i2").tobytes()
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits)
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mutations():
+    good = _good_wav_bytes()
+    import struct
+
+    def set_bits(data, bits):
+        # fmt chunk starts at offset 12; bits field at fmt_data + 14
+        return data[:12 + 8 + 14] + struct.pack("<H", bits) + data[12 + 8 + 16:]
+
+    def set_channels(data, ch):
+        return data[:12 + 8 + 2] + struct.pack("<H", ch) + data[12 + 8 + 4:]
+
+    return {
+        "not_riff": b"JUNK" + good[4:],
+        "not_wave": good[:8] + b"XXXX" + good[12:],
+        "truncated_header": good[:20],
+        "truncated_mid_fmt": good[:30],
+        "zero_bits": set_bits(good, 0),        # div-by-zero guard (SIGFPE!)
+        "odd_bits": set_bits(good, 12),
+        "zero_channels": set_channels(good, 0),
+        "empty": b"",
+        "no_data_chunk": good[: 12 + 8 + 16],
+    }
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_wav_rejects_corrupt_headers(tmp_path):
+    for name, data in _mutations().items():
+        p = str(tmp_path / f"{name}.wav")
+        with open(p, "wb") as f:
+            f.write(data)
+        with pytest.raises(IOError):
+            native.wav_info(p)
+        with pytest.raises(IOError):
+            native.read_wav(p)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_wav_batch_reports_per_file_errors(tmp_path):
+    """Batch decode: corrupt members yield wrote<0 error codes while good
+    members still decode (bad files must not poison the batch)."""
+    good_p = str(tmp_path / "good.wav")
+    with open(good_p, "wb") as f:
+        f.write(_good_wav_bytes())
+    bad_p = str(tmp_path / "bad.wav")
+    with open(bad_p, "wb") as f:
+        f.write(_mutations()["zero_bits"])
+    missing_p = str(tmp_path / "missing.wav")
+
+    paths = [good_p, bad_p, missing_p]
+    flat, offsets, wrote, rates = native.read_wav_batch(
+        paths, [0, 0, 0], [1000, 1000, 1000], [1000, 1000, 1000], n_threads=2)
+    assert wrote[0] == 1000 and rates[0] == 16000
+    assert wrote[1] < 0 and wrote[2] < 0
+    ref, _ = read_wav(good_p, stop=1000)
+    np.testing.assert_allclose(flat[:1000], ref, atol=1e-7)
+
+    flat16, _, wrote16, _ = native.read_wav_batch_i16(
+        paths, [0, 0, 0], [1000, 1000, 1000], [1000, 1000, 1000], n_threads=2)
+    assert wrote16[0] == 1000 and wrote16[1] < 0 and wrote16[2] < 0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_python_wav_reader_rejects_corrupt_headers(tmp_path):
+    """The pure-Python fallback reader raises on the same mutation set (it
+    must never be the lenient path when the native lib is absent).
+    Exception: 12-bit PCM — stdlib ``wave`` rounds it to its 2-byte
+    container (documented behavior, a legitimate decode); the native
+    reader is stricter and rejects it."""
+    for name, data in _mutations().items():
+        if name == "odd_bits":
+            continue
+        p = str(tmp_path / f"{name}.wav")
+        with open(p, "wb") as f:
+            f.write(data)
+        with pytest.raises((ValueError, EOFError, OSError, wave.Error)):
+            read_wav(p)
+
+
+@pytest.mark.skipif(not native.npy_available(), reason="npy entry points unavailable")
+def test_native_npz_rejects_corrupt_archives(tmp_path):
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    good_p = str(tmp_path / "good.npz")
+    np.savez_compressed(good_p, data=arr)
+    good = open(good_p, "rb").read()
+
+    cases = {
+        "truncated_zip": good[: len(good) // 2],
+        "no_eocd": good.replace(b"PK\x05\x06", b"PK\x06\x06"),
+        "bad_magic": b"XX" + good[2:],
+        "empty": b"",
+        "npy_bad_magic": b"\x92NUMPY" + b"\x00" * 64,
+        "npy_truncated": b"\x93NUMPY\x01\x00\xff\xff",
+    }
+    for name, data in cases.items():
+        p = str(tmp_path / f"{name}.npz")
+        with open(p, "wb") as f:
+            f.write(data)
+        with pytest.raises(IOError):
+            native.read_npy_batch([p], key="data")
+        with pytest.raises(IOError):
+            native.probe_npy_shapes([p], key="data")
+
+    # wrong member name errors rather than returning another member
+    with pytest.raises(IOError):
+        native.read_npy_batch([good_p], key="nope")
+
+    # and a good archive still round-trips after all that
+    (got,) = native.read_npy_batch([good_p], key="data")
+    np.testing.assert_array_equal(got, arr)
