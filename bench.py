@@ -54,6 +54,10 @@ import numpy as np
 # per-profile CPU baselines from benchmarks/reference_cpu_baseline.py
 # (0.0316 s/utt extraction + 0.43 ms/trial scoring, extrapolated per sweep)
 # BENCH_PROFILE=grid sweeps the GRID-scale workload (25,834 unique utts)
+# BENCH_PROFILE=ragged drives the SHIPPING bucketed extractor
+# (EvalUtteranceSet -> AudioTrainer.extract_embeddings) over a ragged
+# 1-3 s wav corpus on tmpfs — IO, bucketing, pad waste, per-batch
+# dispatch, masked CMVN/pooling and scoring all included.
 _PROFILE = os.environ.get("BENCH_PROFILE", "lomgrid")
 REFERENCE_CPU_TRIALS_PER_SEC = 24.2 if _PROFILE == "grid" else 165.8
 N_UNIQUE_UTTS = 25834 if _PROFILE == "grid" else 3541
@@ -61,7 +65,8 @@ N_TRIALS = 20000
 UTT_SECONDS = 3.0
 RATE = 16000
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
-if os.environ.get("BENCH_SMOKE"):  # tiny CI smoke of the driver contract
+_SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+if _SMOKE:  # tiny CI smoke of the driver contract
     N_UNIQUE_UTTS, N_TRIALS, UTT_SECONDS, BATCH = 48, 96, 0.5, 16
 
 
@@ -76,6 +81,23 @@ def main():
         pass
 
     sys.path.insert(0, "/root/repo")
+
+    if _PROFILE == "ragged":
+        from deeplip_tpu.train.flops import mfu_fields
+
+        trials_per_sec, flops, extras = _ragged_sweep(jax, jnp)
+        record = {
+            "metric": "verification_trials_per_sec",
+            "value": round(trials_per_sec, 1),
+            "unit": "trials/sec",
+            "vs_baseline": round(trials_per_sec / extras.pop("cpu_tps"), 2),
+            "profile": "ragged",
+        }
+        record.update(mfu_fields(flops, trials_per_sec / N_TRIALS))
+        record.update(extras)
+        print(json.dumps(record))
+        return
+
     from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
     from deeplip_tpu.models.tdnn import SpeakerEmbNet
     from deeplip_tpu.ops import features as F
@@ -209,6 +231,177 @@ def main():
     if _PROFILE != "lomgrid":
         record["profile"] = _PROFILE
     print(json.dumps(record))
+
+
+def _ragged_sweep(jax, jnp):
+    """The SHIPPING extractor on a ragged corpus (VERDICT r3 #1).
+
+    Unlike the headline (bench-local uniform-length ``embed_pcm``), this
+    drives ``AudioTrainer.extract_embeddings`` over an ``EvalUtteranceSet``
+    — the bucketed, masked production path the CLI/serve surfaces use
+    (``train/audio.py:extract_embeddings``; reference analogue: the
+    variable-length eval loaders at
+    ``/root/reference/models/audio_models/datasets.py:273-334``) — end to
+    end from PCM16 wavs on tmpfs: header scan, bucketing, threaded decode,
+    int16 H2D transport, per-bucket-shape compiles (warmed), per-batch
+    dispatch+fetch, masked CMVN/pooling, then the 20k-trial gather+dot
+    scoring and EER. Utterance lengths are uniform 1-3 s (GRID/LOMGRID-like
+    ragged corpus). Reports pad-waste (padded frames / total padded frames)
+    and the number of distinct compiled batch shapes.
+
+    The warm pass (untimed) compiles every bucket shape and absorbs this
+    rig's relay first-transfer stall, exactly like the other profiles; the
+    timed pass re-runs the full pipeline including all host IO.
+
+    ``cpu_tps`` in the returned extras is the reference-equivalent CPU
+    baseline extrapolated to this corpus: the measured 0.0316 s/utt batch-1
+    extraction at 3.0 s scales linearly with duration (MFCC + TDNN convs
+    are linear in T; batch-1 fixed overhead makes this an *under*estimate
+    of CPU cost, i.e. conservative for vs_baseline) + 0.43 ms/trial
+    scoring (benchmarks/reference_cpu_baseline.py).
+    """
+    import shutil
+    import tempfile
+
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.data.audio_io import write_wav
+    from deeplip_tpu.data.audio_pipeline import EvalUtterance, EvalUtteranceSet
+    from deeplip_tpu.eval.scoring import TrialList, cosine_eer
+    from deeplip_tpu.ops.framing import frame_len_step, num_frames
+    from deeplip_tpu.train.audio import AudioTrainer
+    from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
+
+    bucket_frames = 20 if _SMOKE else 100
+    cfg = Config({
+        "data": {"frames": [200, 400], "python_data_config": AUDIO_DATA_OPTS},
+        "model": ETDNN_MODEL_OPTS,
+        "train": {
+            "type": "sgd", "bs": BATCH, "lr_decay": 0.1,
+            "lr_decay_step": [15, 25], "epoch": 1, "loss": "LMCL",
+            "scale": 30, "margin": [0.2, 0.2],
+            "sgd": {"init_lr": 0.01, "weight_decay": 1e-5, "momentum": 0.9},
+        },
+        # the production extraction knobs under test: bucketed batches,
+        # 'high' matmul precision, int16 transport (PCM16 corpus at the
+        # native rate — value-exact, half the H2D bytes)
+        "test": {"batch_size": BATCH, "bucket_frames": bucket_frames,
+                 "matmul_precision": "high", "transport": "int16"},
+    })
+
+    rng = np.random.default_rng(11)
+    lo, hi = (0.3, 0.7) if _SMOKE else (1.0, 3.0)
+    durations = rng.uniform(lo, hi, N_UNIQUE_UTTS)
+    mean_dur = float(durations.mean())
+    cpu_tps = N_TRIALS / (
+        N_UNIQUE_UTTS * 0.0316 * mean_dur / 3.0 + N_TRIALS * 0.00043)
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    corpus = tempfile.mkdtemp(prefix="deeplip_bench_ragged_", dir=tmp_root)
+    try:
+        # --- corpus synthesis (not timed: the reference reads existing wavs)
+        base = rng.standard_normal(int(hi * RATE)).astype(np.float32) * 0.1
+        utts = []
+        for i, dur in enumerate(durations):
+            pcm = np.roll(base, i * 131)[: int(dur * RATE)] * (
+                0.5 + (i % 7) / 7.0)
+            p = os.path.join(corpus, f"utt{i:06d}.wav")
+            write_wav(p, pcm, RATE)
+            utts.append(EvalUtterance(f"utt{i:06d}", p))
+
+        labels = rng.integers(0, 2, N_TRIALS).astype(np.int8)
+        pair_idx = rng.integers(0, N_UNIQUE_UTTS, (N_TRIALS, 2))
+        trials = TrialList(
+            labels,
+            [utts[i].name for i in pair_idx[:, 0]],
+            [utts[j].name for j in pair_idx[:, 1]],
+        )
+
+        trainer = AudioTrainer(cfg, n_spk=16)
+        trainer.ensure_state()
+
+        def utt_set():
+            return EvalUtteranceSet(
+                utts, rate=RATE, bucket_frames=bucket_frames,
+                batch_size=BATCH, transport="int16", num_workers=8,
+            )
+
+        from collections import Counter
+
+        fl, fs = frame_len_step(0.025, 0.01, RATE)
+        shape_counts = Counter()
+        stats = {"pad": 0, "total": 0, "h2d_bytes": 0}
+
+        class _Tallied:
+            """batches() passthrough that tallies pad waste + shapes."""
+
+            def __init__(self, inner):
+                self.inner = inner
+
+            def batches(self):
+                for b in self.inner.batches():
+                    rows, s_max = b["pcm"].shape
+                    bucket_t = num_frames(s_max, fl, fs)
+                    stats["total"] += rows * bucket_t
+                    stats["pad"] += rows * bucket_t - int(b["feat_lengths"].sum())
+                    stats["h2d_bytes"] += b["pcm"].nbytes
+                    shape_counts[b["pcm"].shape] += 1
+                    yield b
+
+        # warm pass: compile every bucket shape, absorb the relay stall
+        warm_store = trainer.extract_embeddings(_Tallied(utt_set()))
+        _ = cosine_eer(trials, warm_store)
+        shape_counts.clear()
+        stats.update(pad=0, total=0, h2d_bytes=0)
+
+        # timed pass: the full shipping pipeline, host IO included
+        t0 = time.perf_counter()
+        store = trainer.extract_embeddings(_Tallied(utt_set()))
+        t_extract = time.perf_counter() - t0
+        eer, _thr = cosine_eer(trials, store)
+        elapsed = time.perf_counter() - t0
+        assert len(store) == N_UNIQUE_UTTS and np.isfinite(eer)
+
+        # FLOPs: per-shape cost analysis of the already-jitted embed,
+        # weighted by how many batches ran at each shape (untimed)
+        flops = _ragged_flops(jnp, trainer, shape_counts)
+
+        extras = {
+            "cpu_tps": cpu_tps,
+            "eer": round(float(eer), 4),
+            "mean_utt_s": round(mean_dur, 3),
+            "pad_waste": round(stats["pad"] / max(stats["total"], 1), 4),
+            "n_batch_shapes": len(shape_counts),
+            "extract_s": round(t_extract, 3),
+            "score_s": round(elapsed - t_extract, 3),
+            "h2d_mb": round(stats["h2d_bytes"] / 1e6, 1),
+            "h2d_mb_per_sec": round(stats["h2d_bytes"] / 1e6 / elapsed, 1),
+        }
+        return N_TRIALS / elapsed, flops, extras
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+
+
+def _ragged_flops(jnp, trainer, shape_counts):
+    """Sum of XLA cost-analysis FLOPs over the sweep's batch shapes (each
+    distinct shape weighted by how many batches ran at it)."""
+    from deeplip_tpu.train.flops import compiled_flops
+
+    embed = trainer._embed_fns.get("embed")
+    if embed is None:
+        return None
+    state = trainer.ensure_state()
+    total = 0.0
+    for (rows, s_max), n in shape_counts.items():
+        rows += -rows % trainer.n_devices
+        f = compiled_flops(
+            embed, state.params, state.batch_stats,
+            jnp.zeros((rows, s_max), jnp.int16),
+            jnp.ones((rows,), jnp.int32), jnp.ones((rows,), jnp.int32),
+        )
+        if f is None:
+            return None
+        total += f * n
+    return total or None
 
 
 def _hostio_sweep(jax, jnp, embed_pcm, variables, pairs, n_batches,

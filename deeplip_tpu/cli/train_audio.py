@@ -44,6 +44,9 @@ def _test_set(trainer: AudioTrainer, trial_path: str, root: str) -> EvalUtteranc
         win_shift=trainer.feat_cfg.win_shift,
         bucket_frames=int(test_opts.get("bucket_frames", 100)),
         batch_size=int(test_opts.get("batch_size", 64)),
+        # "int16" ships PCM16 host→device at half the bytes (exact for
+        # PCM16 corpora at the config rate — see EvalUtteranceSet)
+        transport=str(test_opts.get("transport", "float32")),
     )
 
 

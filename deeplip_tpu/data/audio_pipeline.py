@@ -125,6 +125,15 @@ class EvalUtteranceSet:
 
     ``bucket_frames`` quantizes feature lengths upward so a 20k-utterance
     sweep compiles only a handful of shapes.
+
+    ``transport="int16"`` ships batches host→device as PCM16 (half the
+    float32 bytes; the jitted embed rescales on device). For PCM16 sources
+    decoded at the target rate this is value-exact — ``round(i/32768 ·
+    32768)`` recovers the stored sample and the device's ``i/32768.0``
+    rescale is an exact power-of-two division, so the model sees identical
+    float32 PCM (embeddings agree to f32 roundoff; the extra convert op
+    fuses differently). For non-PCM16-origin samples (resampled legs, float
+    wavs) quantization adds ≤2⁻¹⁶ PCM error; keep the float32 default there.
     """
 
     def __init__(
@@ -137,7 +146,10 @@ class EvalUtteranceSet:
         batch_size: int = 32,
         reader: Callable = read_wav,
         num_workers: int = 8,
+        transport: str = "float32",
     ):
+        if transport not in ("float32", "int16"):
+            raise ValueError(f"transport must be float32|int16, got {transport!r}")
         self.utts = list(utts)
         self.rate = rate
         self.win_len = win_len
@@ -146,6 +158,7 @@ class EvalUtteranceSet:
         self.batch_size = batch_size
         self.reader = reader
         self.num_workers = num_workers
+        self.transport = transport
         # round-half-up like the device DSP (python_speech_features
         # convention) — int(round()) banker's rounding could disagree on
         # .5-landing products and skew the frame-count estimate by one
@@ -189,13 +202,19 @@ class EvalUtteranceSet:
     def _assemble(self, chunk: list[tuple[EvalUtterance, int, int]]) -> dict:
         bucket_t = chunk[0][2]
         s_max = samples_for_frames(bucket_t, self.win_len, self.win_shift, self.rate)
-        pcm = np.zeros((len(chunk), s_max), np.float32)
+        i16 = self.transport == "int16"
+        pcm = np.zeros((len(chunk), s_max), np.int16 if i16 else np.float32)
         lengths = np.zeros((len(chunk),), np.int32)
         sample_lengths = np.zeros((len(chunk),), np.int32)
         names = []
         for row, (utt, t, _) in enumerate(chunk):
             _, y = self._load(utt)
-            pcm[row, : min(len(y), s_max)] = y[:s_max]
+            y = y[:s_max]
+            if i16:
+                # exact for PCM16-origin samples: y·32768 lands on the
+                # stored integer (f32 holds |i|<2¹⁵ exactly)
+                y = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+            pcm[row, : len(y)] = y
             lengths[row] = t
             # true PCM length: the device front-end masks pre-emphasis here
             # so padded batches reproduce the reference's emphasize-then-pad

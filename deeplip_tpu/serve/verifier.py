@@ -244,6 +244,7 @@ class SpeakerVerifier(ProfileVerifier):
             win_shift=t.feat_cfg.win_shift,
             bucket_frames=int(t.test_opts.get("bucket_frames", 100)),
             batch_size=int(t.test_opts.get("batch_size", 64)),
+            transport=str(t.test_opts.get("transport", "float32")),
         )
         if reader is not None:
             kw["reader"] = reader

@@ -610,6 +610,11 @@ class AudioTrainer:
 
         @jax.jit
         def embed(params, batch_stats, pcm, feat_lengths, sample_lengths):
+            if pcm.dtype == jnp.int16:
+                # int16 transport (EvalUtteranceSet(transport="int16")):
+                # half the H2D bytes; the exact power-of-two rescale feeds
+                # the model the same f32 PCM values on PCM16 sources
+                pcm = pcm.astype(jnp.float32) / 32768.0
             with jax.default_matmul_precision(ctx):
                 feats = F.extract_features(
                     pcm, eval_feat_cfg, backend=self.feature_backend,

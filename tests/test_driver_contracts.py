@@ -69,6 +69,25 @@ def test_bench_smoke_subprocess():
     assert record["unit"] == "trials/sec"
     assert record["value"] > 0 and record["vs_baseline"] > 0
 
+def test_bench_ragged_profile_smoke():
+    """BENCH_PROFILE=ragged drives the shipping bucketed extractor
+    (EvalUtteranceSet -> extract_embeddings) and reports pad-waste."""
+    import json
+
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu", BENCH_SMOKE="1",
+               BENCH_PROFILE="ragged", DEEPLIP_BENCH_INNER="1")
+    res = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                         text=True, env=env, cwd="/root/repo", timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    record = json.loads(res.stdout.strip().splitlines()[-1])
+    assert record["profile"] == "ragged"
+    assert record["value"] > 0 and record["vs_baseline"] > 0
+    assert 0 < record["pad_waste"] < 1
+    assert record["n_batch_shapes"] >= 2  # the corpus is genuinely ragged
+    assert np.isfinite(record["eer"])
+
+
 def test_bench_supervisor_retries_transient_failure(monkeypatch):
     """The bench supervisor retries a failed attempt in a fresh subprocess
     and prints only the final JSON line once an attempt succeeds (r3: two

@@ -151,6 +151,30 @@ def test_padded_extraction_matches_single(corpus, tmp_path):
         np.testing.assert_allclose(batched[u.name], single[u.name], atol=5e-4)
 
 
+def test_int16_transport_bit_equal(corpus, tmp_path):
+    """PCM16 transport (half the H2D bytes) must reproduce float32-transport
+    embeddings on a PCM16 corpus: round(y·32768) recovers the stored int16
+    sample and the device's /32768.0 rescale is an exact power-of-two
+    division, so the two paths feed the model identical float32 PCM. The
+    compiled programs differ by one convert op that XLA fuses differently,
+    so embeddings agree to f32 roundoff (measured ~1 ULP), not bit-equal."""
+    root, manifest, _ = corpus
+    trainer = AudioTrainer(
+        _config(tmp_path, root), mesh=make_mesh(),
+        exp_root=str(tmp_path / "exp_i16"), log_time="t1",
+    )
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ][:6]
+    kw = dict(batch_size=3, bucket_frames=50, num_workers=1)
+    f32 = trainer.extract_embeddings(EvalUtteranceSet(utts, **kw))
+    i16 = trainer.extract_embeddings(
+        EvalUtteranceSet(utts, transport="int16", **kw))
+    for u in utts:
+        np.testing.assert_allclose(f32[u.name], i16[u.name], atol=1e-6, rtol=0)
+
+
 def test_attentive_pooling_trainer_path(corpus, tmp_path):
     """Train a few steps with attentive-statistics pooling via the trainer."""
     import copy
