@@ -18,6 +18,10 @@ import sys
 
 import pytest
 
+# Conv3D-heavy lane: dominates suite wall time on the CPU mesh (fast lane:
+# `pytest -m "not slow"`; the driver/CI run the full suite)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 from parity_check import run_train_parity  # noqa: E402

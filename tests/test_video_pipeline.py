@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Conv3D-heavy lane: dominates suite wall time on the CPU mesh (fast lane:
+# `pytest -m "not slow"`; the driver/CI run the full suite)
+pytestmark = pytest.mark.slow
+
 from deeplip_tpu.core.config import Config
 from deeplip_tpu.core.mesh import make_mesh
 from deeplip_tpu.data.synthetic import make_video_corpus
