@@ -85,7 +85,14 @@ def main():
 
     def bench_fwd(name, fn, x, group=None):
         """fwd-only: per-iteration input perturbed by the carried acc (so no
-        iteration's work is loop-invariant or elidable), 'high' precision."""
+        iteration's work is loop-invariant or elidable), 'high' precision.
+
+        The chained scalar is ``sum(y)`` — a single-element ``y[0]`` tap
+        measured ~0 ms on several components: XLA pushes the slice back
+        through elementwise/BN/conv ops and computes only the sliced
+        window, eliding the measured work. The full-output reduction makes
+        every element live (its own cost is one HBM read of y, ≤0.1 ms at
+        these shapes)."""
         if only and name not in only and group not in only:
             return
 
@@ -98,11 +105,19 @@ def main():
                     xv = xx + (acc * 1e-38).astype(xx.dtype)
                 with jax.default_matmul_precision("high"):
                     y = fn(xv)
-                return acc + y.ravel()[0].astype(jnp.float32) * 1e-38
+                return acc + jnp.sum(y).astype(jnp.float32) * 1e-38
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
         ms = two_length(loop, x)
+        if abs(ms) < 0.8:
+            # sub-noise at the 8-iteration delta (relay end-fetch jitter is
+            # a few ms): refit over a 80-iteration delta
+            global N_SHORT, N_LONG
+            ns, nl = N_SHORT, N_LONG
+            N_SHORT, N_LONG = 2, 82
+            ms = two_length(loop, x)
+            N_SHORT, N_LONG = ns, nl
         results[name] = round(ms, 2)
         print(f"{name}: {ms:.2f} ms", flush=True)
 
@@ -240,6 +255,79 @@ def main():
         return xv / jnp.linalg.norm(xv, axis=-1, keepdims=True).clip(1e-12)
 
     bench_fwd("full", full_fn, pcm_i16, group="model")
+
+    # --- sweep composition: the headline's lax.map over the stacked corpus
+    # vs an UNROLLED per-batch python loop in one jit (XLA can pipeline and
+    # schedule batches independently; lax.map is a sequential while-loop).
+    # `full`×n_batches undershoots the measured sweep by ~25%, so the
+    # composition itself is a candidate cost — measure it directly.
+    if not only or {"sweep_map", "sweep_unrolled"} & (only or set()):
+        # 14 batches at the headline bs=256; capped so small-batch smoke
+        # runs stay tractable (the slice below shrinks the corpus to match)
+        n_batches = min(-(-N_UTTS // batch), 16)
+        m_utts = min(N_UTTS, n_batches * batch)
+        keys = jax.random.split(jax.random.PRNGKey(3), n_batches)
+
+        @jax.jit
+        def synth(keys):
+            def one(key):
+                p = 0.1 * jax.random.normal(key, (batch, n_samples), jnp.float32)
+                return jnp.clip(p * 32768.0, -32768, 32767).astype(jnp.int16)
+
+            return jax.lax.map(one, keys)
+
+        stack = synth(keys)
+        pairs = jax.device_put(
+            rng.integers(0, m_utts, (N_TRIALS, 2)).astype(np.int32))
+
+        def embed_i16(x):
+            with jax.default_matmul_precision("high"):
+                f = F.extract_features(x.astype(jnp.float32) / 32768.0, raw_cfg)
+                f = masked_cmvn(f, lengths)
+                xv, _ = model.apply(variables, f, lengths=lengths,
+                                    method=model.extract_embedding)
+                return xv / jnp.linalg.norm(xv, -1, keepdims=True).clip(1e-12)
+
+        def score_of(embs, eps):
+            e = embs.reshape(-1, embs.shape[-1])[:m_utts]
+            a = jnp.take(e, pairs[:, 0], axis=0)
+            b = jnp.take(e, pairs[:, 1], axis=0)
+            return jnp.sum(a * b, axis=-1) + eps * 1e-38
+
+        def sweep_variants(name, sweep_fn):
+            @partial(jax.jit, static_argnames="iters")
+            def loop(st, iters):
+                def body(_, acc):
+                    return jnp.sum(sweep_fn(st, acc)) * 1e-38 + acc
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            def run(iters):
+                np.asarray(jax.device_get(loop(stack, iters=iters)))
+                t0 = time.perf_counter()
+                np.asarray(jax.device_get(loop(stack, iters=iters)))
+                return time.perf_counter() - t0
+
+            t1, t3 = run(1), run(3)
+            ms = (t3 - t1) / 2 * 1000
+            results[name] = round(ms, 2)
+            print(f"{name}: {ms:.2f} ms/sweep "
+                  f"({ms / n_batches:.2f} ms/batch)", flush=True)
+
+        def sweep_map_fn(st, eps):
+            def one(p):
+                return embed_i16(p + (eps * 1e-38).astype(jnp.int16))
+
+            return score_of(jax.lax.map(one, st), eps)
+
+        def sweep_unrolled_fn(st, eps):
+            embs = jnp.concatenate(
+                [embed_i16(st[i] + (eps * 1e-38).astype(jnp.int16))
+                 for i in range(n_batches)])
+            return score_of(embs, eps)
+
+        sweep_variants("sweep_map", sweep_map_fn)
+        sweep_variants("sweep_unrolled", sweep_unrolled_fn)
 
     # --- trial scoring ------------------------------------------------------
     if not only or "scoring" in only:
