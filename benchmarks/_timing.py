@@ -18,7 +18,17 @@ provably waits for the work it depends on. Honest recipe:
     execution outputs device->host eagerly, so a loop that leaves a 50 MB
     array live per iteration measures the ~40 MB/s relay, not the TPU
     (reduce to a scalar inside the jit, or donate big buffers as the
-    training steps do).
+    training steps do);
+  - chain through a reduction of the FULL output (``sum(y)``), never a
+    single-element tap (``y[0]``): XLA pushes slices back through
+    elementwise/BN/conv ops and computes only the sliced window — fwd-only
+    fori loops chained via ``y.ravel()[0]`` measured ~0 ms on real conv
+    blocks (r4, benchmarks/extract_attribution.py) because the measured
+    work was sliced away, not because it was fast;
+  - per-dispatch relay RTT here is ~30-60 ms (measured r4 by
+    serve_bench.py and the headline-sweep attribution): anything
+    host-dispatched per iteration measures the tunnel, not the chip — put
+    the loop inside ONE program and two-length-fit the iteration count.
 
 On a normal PCIe-attached device this harness is simply a correct
 synchronous measurement (the fetch is what `block_until_ready` would be).

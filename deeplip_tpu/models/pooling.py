@@ -37,19 +37,33 @@ def _time_mask(x: jnp.ndarray, lengths) -> jnp.ndarray | None:
 
 
 class MeanStdPooling(nn.Module):
-    """Statistics pooling: ``(B, T, C) -> (B, 2C)`` mean ++ unbiased std."""
+    """Statistics pooling: ``(B, T, C) -> (B, 2C)`` mean ++ unbiased std.
+
+    Single-pass statistics (r4): ``Σx`` and ``Σx²`` reduce over ONE read of
+    the ``(B, T, C)`` activation (XLA fuses both reductions into one loop);
+    the two-pass ``Σ(x−mean)²`` form forces a second full HBM read of the
+    biggest tensor in the extraction path — the same bandwidth tax the r3
+    single-pass BN removed (``models/norm.py``). ``var = (Σx² − n·mean²)/
+    (n−1)`` cancels at ~eps·(1 + mean²/var) relative — harmless for
+    BN-regulated activations (torch-parity suites hold unchanged, incl.
+    the f64 train-step harness); the ``max(·, 0)`` guards pathological
+    cancellation from producing NaN through the sqrt. torch parity target:
+    unbiased ``torch.std`` (ddof=1), reference ``pooling.py:24-26``.
+    """
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths=None) -> jnp.ndarray:
         mask = _time_mask(x, lengths)
         if mask is None:
+            n = x.shape[1]
             mean = jnp.mean(x, axis=1)
-            # unbiased (N-1) std to match torch.std
-            var = jnp.sum((x - mean[:, None, :]) ** 2, axis=1) / max(x.shape[1] - 1, 1)
+            s2 = jnp.sum(x * x, axis=1)
+            var = jnp.maximum(s2 - n * mean * mean, 0.0) / max(n - 1, 1)
         else:
             count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
             mean = jnp.sum(x * mask, axis=1) / count
-            var = jnp.sum(((x - mean[:, None, :]) ** 2) * mask, axis=1) / jnp.maximum(
+            s2 = jnp.sum((x * x) * mask, axis=1)
+            var = jnp.maximum(s2 - count * mean * mean, 0.0) / jnp.maximum(
                 count - 1.0, 1.0
             )
         # +1e-12 inside the sqrt: bit-invisible for normal variances (needs

@@ -74,7 +74,8 @@ def main():
     from benchmarks.reference_cpu_baseline import numpy_mfcc
     from convergence_video_study import make_hard_clip
     from parity_check import (build_torch_ce, build_torch_lipreading,
-                              build_torch_lowfer, build_torch_net)
+                              build_torch_lowfer, build_torch_net,
+                              train_torch_net)
     from deeplip_tpu.data.audio_io import read_wav
     from deeplip_tpu.data.manifest import SpeakerManifest
     from deeplip_tpu.data.synthetic import make_hard_audio_corpus
@@ -145,6 +146,48 @@ def main():
     thead = thead.float()
     tcrit = build_torch_ce(torch, 3 * D, N_SPK)
     import copy
+
+    # --- pretrain the encoders (the reference freezes PRETRAINED nets,
+    # train_fusion.py:191-201 — with random encoders the head cannot
+    # separate speakers and the lr-0.5 recipe just decays the initial
+    # spike; measured before this was added). Pretraining happens in torch
+    # ONLY and the resulting snapshots are the study's shared init.
+    print("[pretrain] audio encoder...", file=sys.stderr)
+    feats_by_utt, labels_by_utt = {}, {}
+    for s in range(N_SPK):
+        for j in range(8):
+            name = f"s{s}_u{j}"
+            feats_by_utt[name] = numpy_mfcc(
+                pcm_by_spk[s][j].astype(np.float64)).astype(np.float32)
+            labels_by_utt[name] = s
+    train_torch_net(torch, tnet_a, feats_by_utt, labels_by_utt, D, N_SPK,
+                    steps=60, bs=16)
+
+    print("[pretrain] video encoder...", file=sys.stderr)
+    prng = np.random.default_rng(9)
+    vopt = torch.optim.Adam(tnet_v.parameters(), lr=1e-3)
+    tnet_v.train()
+    for step in range(80):
+        xs, ys = [], []
+        for i in range(8):
+            spk = (step * 8 + i) % N_SPK
+            c = clips_by_spk[spk][int(prng.integers(8))]
+            off2 = (RAW - CROP) // 2
+            x = (c[:, off2:off2 + CROP, off2:off2 + CROP].astype(np.float32)
+                 / np.float32(255.0) - np.float32(MEAN)) / np.float32(STD)
+            xs.append(x)
+            ys.append(spk)
+        out = tnet_v(torch.tensor(np.stack(xs))[:, None],
+                     [T_CLIP] * 8)
+        loss = torch.nn.functional.cross_entropy(out, torch.tensor(ys))
+        vopt.zero_grad()
+        loss.backward()
+        vopt.step()
+        if step % 20 == 0 or step == 79:
+            print(f"  torch video pre-train step {step}: "
+                  f"loss {loss.item():.4f}", file=sys.stderr)
+    tnet_a.eval()
+    tnet_v.eval()
 
     tnet_a_init = copy.deepcopy(tnet_a.state_dict())
     tnet_v_init = copy.deepcopy(tnet_v.state_dict())
@@ -322,7 +365,12 @@ def main():
         "Epoch-scale companion to the 10-step f64 fusion train parity",
         "(`docs/train_parity_fusion_r03.json`, live-param drift 5.2e-8):",
         "one shared synthetic AV corpus (hard audio + hard lip clips, 10",
-        "speakers), ONE shared RAW batch stream (PCM crops + uint8 clips —",
+        "speakers), encoders PRETRAINED in torch then snapshotted as the",
+        "shared init — the reference freezes PRETRAINED nets",
+        "(`train_fusion.py:191-201`); with random encoders the lr-0.5 head",
+        "recipe cannot learn (measured: both frameworks identically decay a",
+        "loss spike to chance accuracy). ONE shared RAW batch stream (PCM",
+        "crops + uint8 clips —",
         "both sides run their full pipelines: torch per-clip batch-1 loops,",
         "deeplip one jitted dense masked step), ONE shared torch init,",
         "frozen eval-mode encoders, and the reference fusion recipe",
