@@ -645,7 +645,15 @@ class AudioTrainer:
         embed = self._embed_fns["embed"]
         store = EmbeddingStore()
         in_shard = data_sharding(self.mesh, ndim=2)
-        for batch in utterances.batches():
+        len_shard = data_sharding(self.mesh, ndim=1)
+
+        def stage(batch):
+            """Pad to mesh divisibility and ENQUEUE the host→device
+            transfers (``device_put`` is asynchronous): staged one batch
+            ahead below, the next batch's PCM ships while the current one
+            computes and its embeddings fetch — on transport-bound links
+            (this rig's relay; to a lesser degree PCIe) the transfer is
+            the extraction wall-clock, so the overlap is direct savings."""
             pcm, lengths, names = batch["pcm"], batch["feat_lengths"], batch["names"]
             slen = batch["sample_lengths"]
             pad = -len(names) % self.n_devices
@@ -653,16 +661,25 @@ class AudioTrainer:
                 pcm = np.concatenate([pcm, np.zeros((pad,) + pcm.shape[1:], pcm.dtype)])
                 lengths = np.concatenate([lengths, np.ones((pad,), lengths.dtype)])
                 slen = np.concatenate([slen, np.ones((pad,), slen.dtype)])
-            len_shard = data_sharding(self.mesh, ndim=1)
-            out = np.asarray(
-                embed(
-                    state.params,
-                    state.batch_stats,
-                    jax.device_put(pcm, in_shard),
-                    jax.device_put(lengths, len_shard),
-                    jax.device_put(slen, len_shard),
-                )
+            return names, (
+                jax.device_put(pcm, in_shard),
+                jax.device_put(lengths, len_shard),
+                jax.device_put(slen, len_shard),
             )
+
+        pending = None
+        batches = utterances.batches()
+        for batch in batches:
+            staged = stage(batch)
+            if pending is not None:
+                names, args = pending
+                out = np.asarray(embed(state.params, state.batch_stats, *args))
+                for i, name in enumerate(names):
+                    store[name] = out[i]
+            pending = staged
+        if pending is not None:
+            names, args = pending
+            out = np.asarray(embed(state.params, state.batch_stats, *args))
             for i, name in enumerate(names):
                 store[name] = out[i]
         return store
