@@ -69,15 +69,19 @@ class FeatureConfig:
     # rDFT implementation: 'matmul' (two MXU passes against cos/sin
     # bases, at `precision`), 'matmul_fused' (ONE pass against the
     # [cos|-sin] basis, re²+im² folded into a row-stacked mel matmul —
-    # 1.2x less lane-padded DFT work), or 'fft' (`jnp.fft.rfft` —
-    # native-f32 accuracy, immune to the bf16-pass precision tax; mel/DCT
-    # matmuls keep `precision`). MEASURED (benchmarks/precision_budget.py,
-    # trained regime, v5e, 256x3s batches): 'fft' holds the parity bar
-    # (2.7e-5) but XLA's n_fft=512 TPU FFT is 1.5x SLOWER end-to-end
-    # (19.9 vs 13.2 ms); 'matmul_fused' is +0.8% — real but below the
-    # rig's ~1.5% noise floor. 'matmul' stays the production default
-    # (keeps all committed parity evidence byte-valid); details in
-    # docs/precision_budget_r03.md addenda.
+    # 1.2x less lane-padded DFT work), 'matmul_packed' (the fused basis
+    # with the Nyquist cos column packed into the all-zero sin column 0 —
+    # exactly n_fft output columns, ZERO lane padding, 1.5x less DFT MXU
+    # work than 'matmul'; mel front-ends only, stft falls back to the
+    # exact bases), or 'fft' (`jnp.fft.rfft` — native-f32 accuracy, immune
+    # to the bf16-pass precision tax; mel/DCT matmuls keep `precision`).
+    # MEASURED (benchmarks/precision_budget.py, trained regime, v5e,
+    # 256x3s batches): 'fft' holds the parity bar (2.7e-5) but XLA's
+    # n_fft=512 TPU FFT is 1.5x SLOWER end-to-end (19.9 vs 13.2 ms);
+    # 'matmul_fused' is +0.8% — real but below the rig's ~1.5% noise
+    # floor. 'matmul' stays the production default (keeps all committed
+    # parity evidence byte-valid); details in docs/precision_budget_r03.md
+    # addenda.
     dft: str = "matmul"
 
     @classmethod
@@ -166,8 +170,11 @@ def _rdft(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig):
         fused = _fused_rdft_sq(frames, frame_len, cfg, square=False)
         k = cfg.n_fft // 2 + 1
         return fused[..., :k], fused[..., k:]
-    if cfg.dft != "matmul":
+    if cfg.dft not in ("matmul", "matmul_packed"):
         raise NotImplementedError(f"unknown dft impl {cfg.dft!r}")
+    # 'matmul_packed' reaching here means a caller that needs TRUE per-bin
+    # re/im (the stft front-end) — the packed basis is mel-front-end-only,
+    # so serve the exact two-matmul bases instead.
     cos_m, sin_m = spectral.rdft_matrices(frame_len, cfg.n_fft)
     cos_m = jnp.asarray(cos_m, dtype=frames.dtype)
     sin_m = jnp.asarray(sin_m, dtype=frames.dtype)
@@ -194,6 +201,32 @@ def _fused_rdft_sq(frames: jnp.ndarray, frame_len: int, cfg: FeatureConfig,
 
 
 def _mel_energies(signal: jnp.ndarray, cfg: FeatureConfig):
+    if cfg.dft == "matmul_packed":
+        # Nyquist-packed fused basis: ONE (frame_len, n_fft) matmul with
+        # ZERO lane padding (512 output columns = 4 exact 128-lane tiles at
+        # the speech default vs 'matmul's 2x384 padded / 'matmul_fused's
+        # 640). Exactness: the squared-column row-sum equals the true
+        # 257-bin power sum (energy), and the row-stacked [fb_lo; fb_lo]
+        # meets the packed Nyquist column at the structurally-zero
+        # filterbank row 0 (see spectral.rdft_packed_matrix docstring).
+        emph = framing.preemphasis(signal, cfg.preemph)
+        frames = framing.frame_signal(emph, cfg.frame_len, cfg.frame_step)
+        fb2 = jnp.asarray(
+            spectral.mel_filterbank_packed(
+                cfg.num_bin, cfg.n_fft, cfg.rate, cfg.low_freq, cfg.high_freq),
+            dtype=frames.dtype,
+        )
+        basis = jnp.asarray(
+            spectral.rdft_packed_matrix(cfg.frame_len, cfg.n_fft),
+            dtype=frames.dtype,
+        )
+        out = comp_matmul(frames, basis, cfg.precision)
+        sq = out * out
+        energy = jnp.sum(sq, axis=-1) / cfg.n_fft
+        energy = jnp.where(energy == 0, _PSF_EPS, energy)
+        feat = comp_matmul(sq, fb2, cfg.precision) / cfg.n_fft
+        feat = jnp.where(feat == 0, _PSF_EPS, feat)
+        return feat, energy
     if cfg.dft == "matmul_fused":
         # fused path: |rDFT|² never materializes per-bin — the re²+im²
         # fold rides the mel matmul's contraction over the row-stacked

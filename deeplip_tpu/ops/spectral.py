@@ -56,6 +56,70 @@ def rdft_fused_matrix(frame_len: int, n_fft: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def rdft_packed_matrix(frame_len: int, n_fft: int) -> np.ndarray:
+    """Nyquist-packed fused rDFT basis, shape ``(frame_len, n_fft)``.
+
+    Layout: ``[cos[:, :K-1] | -sin[:, :K-1]]`` (``K = n_fft//2 + 1``) with the
+    all-zero ``-sin`` column 0 **replaced by the Nyquist cos column**
+    ``cos(pi*n) = (-1)^n``. Rationale (TPU lane geometry): the plain bases
+    have K = 257 output columns, which the (8, 128) tile pads to 384 lanes —
+    1.5x wasted MXU columns; the packed basis has exactly ``n_fft`` columns
+    (512 = 4 lane tiles at the speech default), zero pad waste, and loses no
+    information used by the mel front-ends:
+
+    - ``sin`` column 0 is identically zero (``sin(0) = 0``), so the slot is
+      free; the true ``im[0]`` is 0.
+    - ``sin`` column K-1 is zero to float-pi rounding (|.| < 2e-13) and the
+      mel filterbank's Nyquist row is structurally all-zero under the psf
+      ``floor((n_fft+1)hz/rate)`` edge convention (top edge bin <= n_fft/2
+      and triangles exclude their edge bins), so dropping it changes
+      nothing the filterbank or total energy can observe beyond ~1e-26
+      relative.
+    - The squared-output row-sum then equals the TRUE 257-bin power-spectrum
+      sum: ``sum(re[0:256]^2) + nyq^2 + sum(im[1:256]^2)`` — total energy
+      (psf ``fbank``'s second output) falls out with no extra term.
+
+    Use with ``mel_filterbank_packed`` (the matching row-stacked RHS); the
+    stft front-end must NOT use this basis (it needs true re/im per bin).
+    """
+    cos_m, sin_m = rdft_matrices(frame_len, n_fft)
+    k = n_fft // 2 + 1
+    sin_mod = sin_m[:, : k - 1].copy()
+    sin_mod[:, 0] = cos_m[:, k - 1]
+    return np.concatenate([cos_m[:, : k - 1], sin_mod], axis=1)
+
+
+@lru_cache(maxsize=None)
+def mel_filterbank_packed(
+    n_filt: int,
+    n_fft: int,
+    rate: int,
+    low_freq: float = 0.0,
+    high_freq: float | None = None,
+) -> np.ndarray:
+    """Row-stacked ``[fb[:K-1]; fb[:K-1]]`` filterbank, shape ``(n_fft, n_filt)``.
+
+    RHS companion of ``rdft_packed_matrix``: applied to the SQUARED packed
+    rDFT output it computes ``(re^2 + im^2) @ fb`` exactly — the packed
+    column 256 (which carries the Nyquist power) meets filterbank row 0,
+    which is structurally all-zero (left edge bin of the first triangle has
+    weight 0), so the packing never leaks into the mel energies. Raises if
+    the structural-zero assumption is violated (it cannot be under the psf
+    edge convention with ``high_freq <= rate/2``).
+    """
+    fb = mel_filterbank(n_filt, n_fft, rate, low_freq, high_freq)
+    k = n_fft // 2 + 1
+    if fb[0].any() or fb[k - 1].any():
+        raise ValueError(
+            "packed rDFT requires all-zero filterbank rows at bin 0 and the "
+            "Nyquist bin; this filterbank violates that (high_freq > rate/2?) "
+            "— use dft='matmul' or 'matmul_fused'"
+        )
+    lo = fb[: k - 1]
+    return np.concatenate([lo, lo], axis=0)
+
+
+@lru_cache(maxsize=None)
 def mel_filterbank_fused(
     n_filt: int,
     n_fft: int,

@@ -15,6 +15,8 @@ goldens' float64 pipeline (the BASELINE.md embedding bar; feature agreement
 at this tolerance is a superset requirement).
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -355,6 +357,83 @@ def test_fused_rdft_matches_oracle_stft():
     want = O.librosa_stft_log1p(sig)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ft", ["mfcc", "fbank", "logfbank"])
+def test_packed_rdft_parity_vendored_psf(ft):
+    """dft='matmul_packed' (Nyquist cos column packed into the all-zero sin
+    column 0 — exactly n_fft output columns, zero lane padding) must hold
+    the ≤1e-4 bar vs the float64 psf golden. mfcc covers the packed total
+    energy via the log-energy c0 replacement."""
+    sig = _sig(9600, seed=5)
+    cfg = F.FeatureConfig(feat_type=ft, num_bin=26, num_cep=24,
+                          normalize=False, dft="matmul_packed")
+    fn = {"mfcc": F.mfcc, "fbank": F.fbank, "logfbank": F.logfbank}[ft]
+    got = np.asarray(fn(jnp.asarray(sig, jnp.float32), cfg))
+    want = {
+        "mfcc": lambda: psf.mfcc(sig, RATE, winlen=0.025, winstep=0.01,
+                                 numcep=24, nfilt=26),
+        "fbank": lambda: psf.fbank(sig, RATE, winlen=0.025, winstep=0.01,
+                                   nfilt=26)[0],
+        "logfbank": lambda: psf.logfbank(sig, RATE, winlen=0.025,
+                                         winstep=0.01, nfilt=26),
+    }[ft]()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_packed_rdft_close_to_matmul_mfcc():
+    """Full MFCC packed-vs-two-matmul agreement (incl. log-energy c0): the
+    packed path reorders f32 summation and drops only the ~1e-13-amplitude
+    float-pi residue of the Nyquist sin column, so the paths agree far
+    inside the golden bar."""
+    sig = _sig(9600, seed=13)
+    a = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32),
+                          F.FeatureConfig(normalize=False)))
+    b = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32),
+                          F.FeatureConfig(normalize=False,
+                                          dft="matmul_packed")))
+    np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-5)
+
+
+def test_packed_rdft_energy_exact_f64():
+    """At f64/'highest' the packed row-sum energy equals the true 257-bin
+    power sum to ~1e-12 relative — the packing is an identity on the total
+    energy, not an approximation (spectral.rdft_packed_matrix docstring)."""
+    sig = _sig(9600, seed=17).astype(np.float64)
+    base = F.FeatureConfig(feat_type="fbank", normalize=False,
+                           precision="highest")
+    with jax.enable_x64(True):
+        _, e_two = F._mel_energies(jnp.asarray(sig, jnp.float64), base)
+        _, e_pk = F._mel_energies(
+            jnp.asarray(sig, jnp.float64),
+            dataclasses.replace(base, dft="matmul_packed"))
+        np.testing.assert_allclose(np.asarray(e_pk), np.asarray(e_two),
+                                   rtol=1e-12)
+
+
+def test_packed_rdft_stft_falls_back_to_exact_bases():
+    """The stft front-end needs true per-bin re/im, so dft='matmul_packed'
+    must serve the exact two-matmul bases there (bit-equal to 'matmul')."""
+    sig = _sig(6400, seed=7)
+    a = np.asarray(F.stft_features(
+        jnp.asarray(sig, jnp.float32),
+        F.FeatureConfig(feat_type="stft", normalize=False)))
+    b = np.asarray(F.stft_features(
+        jnp.asarray(sig, jnp.float32),
+        F.FeatureConfig(feat_type="stft", normalize=False,
+                        dft="matmul_packed")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_packed_filterbank_guard_raises():
+    """mel_filterbank_packed refuses filterbanks whose bin-0/Nyquist rows
+    are not structurally zero (a high_freq just past rate/2 puts the top
+    triangle's falling edge onto the Nyquist bin) instead of silently
+    mis-packing."""
+    from deeplip_tpu.ops import spectral
+    # floor(513*8016/16000) = 257 -> filter support reaches bin 256.
+    with pytest.raises(ValueError, match="packed"):
+        spectral.mel_filterbank_packed(26, 512, 16000, 0.0, 8016.0)
 
 
 def test_unknown_dft_impl_raises():
