@@ -367,10 +367,18 @@ def _ragged_sweep(jax, jnp):
         trainer = AudioTrainer(cfg, n_spk=16)
         trainer.ensure_state()
 
+        # corpus-adaptive DP-optimal bucket edges (audio_pipeline.
+        # optimal_bucket_edges) are the production default here: same
+        # compile-count discipline, several-fold less pad-frame waste.
+        # BENCH_RAGGED_BUCKETS=0 restores the fixed bucket_frames
+        # quantization (the r4 continuity recipe).
+        n_buckets = int(os.environ.get("BENCH_RAGGED_BUCKETS", "8")) or None
+
         def utt_set():
             return EvalUtteranceSet(
                 utts, rate=RATE, bucket_frames=bucket_frames,
                 batch_size=BATCH, transport="int16", num_workers=8,
+                n_buckets=n_buckets,
             )
 
         from collections import Counter
@@ -418,6 +426,8 @@ def _ragged_sweep(jax, jnp):
             "eer": round(float(eer), 4),
             "mean_utt_s": round(mean_dur, 3),
             "pad_waste": round(stats["pad"] / max(stats["total"], 1), 4),
+            "bucket_mode": (f"adaptive_k{n_buckets}" if n_buckets
+                            else f"fixed_{bucket_frames}"),
             "n_batch_shapes": len(shape_counts),
             "extract_s": round(t_extract, 3),
             "score_s": round(elapsed - t_extract, 3),

@@ -47,6 +47,10 @@ def _test_set(trainer: AudioTrainer, trial_path: str, root: str) -> EvalUtteranc
         # "int16" ships PCM16 host→device at half the bytes (exact for
         # PCM16 corpora at the config rate — see EvalUtteranceSet)
         transport=str(test_opts.get("transport", "float32")),
+        # corpus-adaptive DP-optimal bucket edges (several-fold less
+        # pad-frame waste than fixed bucket_frames on ragged corpora)
+        n_buckets=(int(test_opts["n_buckets"])
+                   if test_opts.get("n_buckets") is not None else None),
     )
 
 
@@ -93,6 +97,9 @@ def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
                 win_shift=trainer.feat_cfg.win_shift,
                 bucket_frames=int(trainer.test_opts.get("bucket_frames", 100)),
                 batch_size=int(trainer.test_opts.get("batch_size", 64)),
+                n_buckets=(int(trainer.test_opts["n_buckets"])
+                           if trainer.test_opts.get("n_buckets") is not None
+                           else None),
             )
             dev_store = trainer.extract_embeddings(dev_set)
             x = np.stack([dev_store[n] for n in dev_names])

@@ -246,6 +246,8 @@ class SpeakerVerifier(ProfileVerifier):
             batch_size=int(t.test_opts.get("batch_size", 64)),
             transport=str(t.test_opts.get("transport", "float32")),
         )
+        if t.test_opts.get("n_buckets") is not None:
+            kw["n_buckets"] = int(t.test_opts["n_buckets"])
         if reader is not None:
             kw["reader"] = reader
         return EvalUtteranceSet(utts, **kw)

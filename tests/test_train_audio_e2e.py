@@ -201,6 +201,81 @@ def test_attentive_pooling_trainer_path(corpus, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_optimal_bucket_edges_matches_bruteforce():
+    """DP bucket-edge selection equals exhaustive search on small cases and
+    satisfies the structural properties (top edge = max length, every
+    length covered, cost monotone non-increasing in n_buckets)."""
+    from itertools import combinations
+
+    from deeplip_tpu.data.audio_pipeline import optimal_bucket_edges
+
+    rng = np.random.default_rng(7)
+
+    def pad_cost(lengths, edges):
+        e = np.sort(np.asarray(edges))
+        tops = e[np.searchsorted(e, lengths, side="left")]
+        return int(np.sum(tops - lengths))
+
+    for trial in range(5):
+        lengths = rng.integers(50, 120, size=30)
+        u = np.unique(lengths)
+        for k in (1, 2, 3):
+            got = optimal_bucket_edges(lengths, k)
+            assert got[-1] == int(u.max())
+            assert all(any(e >= t for e in got) for t in lengths)
+            if len(u) <= k:
+                assert got == [int(x) for x in u]
+                continue
+            # brute force: the top edge must be max(u); choose k-1 others
+            best = min(
+                pad_cost(lengths, list(c) + [int(u.max())])
+                for c in combinations([int(x) for x in u[:-1]], k - 1)
+            )
+            assert pad_cost(lengths, got) == best, (k, got)
+    # monotone in k
+    lengths = rng.integers(100, 300, size=200)
+    costs = [pad_cost(lengths, optimal_bucket_edges(lengths, k))
+             for k in (1, 2, 4, 8, 16)]
+    assert costs == sorted(costs, reverse=True)
+
+
+def test_eval_set_adaptive_buckets_match_fixed(corpus, tmp_path):
+    """n_buckets (DP-optimal adaptive edges) must reproduce the fixed
+    bucket_frames path's embeddings exactly at the masked-pooling level
+    (VALID convs + masked stats make padded batches equal unpadded), while
+    padding strictly fewer frames."""
+    root, manifest, _ = corpus
+    trainer = AudioTrainer(
+        _config(tmp_path, root), mesh=make_mesh(),
+        exp_root=str(tmp_path / "exp_nb"), log_time="t1",
+    )
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ][:6]
+    fixed_set = EvalUtteranceSet(utts, batch_size=3, bucket_frames=100,
+                                 num_workers=1)
+    adapt_set = EvalUtteranceSet(utts, batch_size=3, bucket_frames=100,
+                                 n_buckets=2, num_workers=1)
+
+    from deeplip_tpu.ops.framing import num_frames
+
+    def pad_frames(es):
+        total = 0
+        for b in es.batches():
+            bucket_t = num_frames(b["pcm"].shape[1], es.frame_len, es.frame_step)
+            total += int(b["pcm"].shape[0] * bucket_t - b["feat_lengths"].sum())
+        return total
+
+    # adaptive edges sit at actual corpus lengths -> no more pad than the
+    # 100-frame quantization on this short-utterance corpus
+    assert pad_frames(adapt_set) <= pad_frames(fixed_set)
+    fixed = trainer.extract_embeddings(fixed_set)
+    adapt = trainer.extract_embeddings(adapt_set)
+    for u in utts:
+        np.testing.assert_allclose(fixed[u.name], adapt[u.name], atol=5e-4)
+
+
 def test_eval_set_resampled_length_exact(tmp_path):
     """Round-2 regression (ROADMAP item): the header-based length estimate
     for files needing resampling must match resample_poly's actual output
