@@ -144,6 +144,26 @@ def cosine_scores(
     return jnp.sum(a * b, axis=-1)
 
 
+def cosine_scores_np(
+    embeddings: np.ndarray, pairs: np.ndarray, normalize: bool = True
+) -> np.ndarray:
+    """Host (numpy float32) twin of :func:`cosine_scores`.
+
+    Same math, same dtype, no device dispatch — for latency-sensitive
+    batch-1 serving where the score work is a handful of dot products and
+    a device launch costs a full host→device round-trip (measured: a
+    2×D cosine is ~1 µs of MXU work behind a ~30-40 ms relay RTT on the
+    dev rig, ~1 ms on PCIe). Agrees with the device path to f32 roundoff
+    (different accumulation order), far inside any operating margin.
+    """
+    e = np.asarray(embeddings, np.float32)
+    if normalize:
+        e = e / np.linalg.norm(e, axis=-1, keepdims=True).clip(1e-12)
+    a = e[np.asarray(pairs)[:, 0]]
+    b = e[np.asarray(pairs)[:, 1]]
+    return np.sum(a * b, axis=-1)
+
+
 def trial_matrix_pairs(trials: TrialList, store: EmbeddingStore):
     """Shared gather for every back-end: the unique-utterance embedding
     matrix and the (M, 2) index pairs of the trial list."""

@@ -115,6 +115,37 @@ def asnorm_trial_scores(
     return np.asarray(asnorm_from_stats(raw, p, mu, sd))
 
 
+def asnorm_trial_scores_np(
+    emb: np.ndarray, pairs: np.ndarray, cohort, top_k: int = 200
+) -> np.ndarray:
+    """Host (numpy float32) twin of :func:`asnorm_trial_scores`.
+
+    Same formulas — L2-normalize, one (N, C) cosine matrix, top-K via
+    ``np.partition``, population std floored at 1e-12, the 0.5·(z_a + z_b)
+    combination — with no device dispatches, for latency-sensitive batch-1
+    serving (three relay round-trips otherwise). Agrees with the device
+    path to f32 roundoff; the device path (``precision=HIGHEST``) remains
+    the offline back-end.
+    """
+    from deeplip_tpu.eval.scoring import cosine_scores_np
+
+    e = np.asarray(emb, np.float32)
+    p = np.asarray(pairs)
+    raw = cosine_scores_np(e, p)
+    c = cohort_matrix(cohort)
+    k = min(int(top_k), c.shape[0])
+    eu = e / np.linalg.norm(e, axis=-1, keepdims=True).clip(1e-12)
+    cu = c / np.linalg.norm(c, axis=-1, keepdims=True).clip(1e-12)
+    scores = eu @ cu.T  # (N, C)
+    top = -np.partition(-scores, k - 1, axis=-1)[:, :k]
+    mu = np.mean(top, axis=-1)
+    sd = np.maximum(
+        np.sqrt(np.mean(np.square(top - mu[:, None]), axis=-1)), 1e-12)
+    mu_a, mu_b = mu[p[:, 0]], mu[p[:, 1]]
+    sd_a, sd_b = sd[p[:, 0]], sd[p[:, 1]]
+    return 0.5 * ((raw - mu_a) / sd_a + (raw - mu_b) / sd_b)
+
+
 def asnorm_eer(
     trials: TrialList,
     store: EmbeddingStore,

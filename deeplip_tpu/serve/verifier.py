@@ -5,7 +5,11 @@ jitted PCM→embedding path (``AudioTrainer._embed_fn``: on-device DSP +
 network + LMCL-path L2 norm, ``/root/reference/train_audio.py:318-320``),
 length-bucketed batched extraction (``EvalUtteranceSet``), and the
 reference-exact EER/threshold backend (``eval/eer.py``) — so a verify
-decision here is bit-consistent with the offline trial protocol.
+decision here is consistent with the offline trial protocol. (Batch-1
+scoring below ``host_score_macs`` runs on numpy f32 twins of the device
+scoring ops to skip dispatch round-trips; scores agree with the device
+back-end to f32 roundoff, ~1e-7 — operating thresholds are calibrated at
+~1e-2 score granularity, so decisions are unaffected.)
 
 Semantics (shared with :class:`deeplip_tpu.serve.av.AVSpeakerVerifier`):
 
@@ -78,6 +82,15 @@ class ProfileVerifier:
     Subclasses provide ``_embed_one(item) -> np.ndarray`` (any norm — it is
     re-normalized here) and ``_is_single_item(x)``."""
 
+    #: scoring work below this many MACs runs on the HOST (numpy f32 twins
+    #: of the device scoring ops) instead of dispatching to the device —
+    #: batch-1 verify/identify scoring is a handful of dot products behind
+    #: a full dispatch round-trip otherwise (measured: scoring dispatches
+    #: were ~half the serve p50 on the dev rig). 8M MACs ≈ well under 10 ms
+    #: of host numpy; large sweeps (calibrate, big identify×cohort) stay on
+    #: device. Set to 0 to force every score onto the device back-end.
+    host_score_macs: int = 8_000_000
+
     def __init__(self, threshold: float | None = None):
         self.threshold = threshold
         self.profiles: dict[str, np.ndarray] = {}
@@ -131,13 +144,32 @@ class ProfileVerifier:
         self.threshold = None  # raw-scale threshold is stale on this scale
 
     def _pair_scores(self, emb: np.ndarray, pairs: np.ndarray) -> np.ndarray:
-        """Raw or AS-normed cosines for index ``pairs`` into ``emb`` rows."""
-        from deeplip_tpu.eval.scoring import cosine_scores
+        """Raw or AS-normed cosines for index ``pairs`` into ``emb`` rows.
+
+        Tiny scoring jobs (< ``host_score_macs`` multiply-accumulates) run
+        on the host via the numpy f32 twins (``cosine_scores_np`` /
+        ``asnorm_trial_scores_np``) — zero device dispatches, agreement to
+        f32 roundoff; everything larger goes to the device back-end."""
+        emb = np.asarray(emb, np.float32)
+        pairs = np.asarray(pairs, np.int32)
+        n, d = emb.shape
+        if self.cohort is None:
+            macs = (n + len(pairs)) * d
+            if macs < self.host_score_macs:
+                from deeplip_tpu.eval.scoring import cosine_scores_np
+
+                return cosine_scores_np(emb, pairs)
+            from deeplip_tpu.eval.scoring import cosine_scores
+
+            return np.asarray(cosine_scores(emb, pairs))
+        macs = (n + len(pairs)) * d + n * self.cohort.shape[0] * d
+        if macs < self.host_score_macs:
+            from deeplip_tpu.eval.snorm import asnorm_trial_scores_np
+
+            return asnorm_trial_scores_np(emb, pairs, self.cohort,
+                                          self.cohort_top_k)
         from deeplip_tpu.eval.snorm import asnorm_trial_scores
 
-        if self.cohort is None:
-            return np.asarray(cosine_scores(
-                np.asarray(emb, np.float32), np.asarray(pairs, np.int32)))
         return asnorm_trial_scores(emb, pairs, self.cohort, self.cohort_top_k)
 
     def _trial_eer(self, trials, store) -> tuple[float, float]:

@@ -132,13 +132,20 @@ def test_cohort_asnorm_scoring(verifier):
         normed = v.score(s0, probe)
         assert normed != raw  # scores now live on the cohort-normalized scale
 
-        # matches the eval back-end formula exactly
-        from deeplip_tpu.eval.snorm import asnorm_trial_scores
+        # matches the eval back-end formula: exactly vs the host twin
+        # (batch-1 serving routes there), to f32 roundoff vs the device
+        # back-end (different accumulation order on O(1-10) z-scores)
+        from deeplip_tpu.eval.snorm import (asnorm_trial_scores,
+                                            asnorm_trial_scores_np)
 
         e = np.stack([v.profiles[s0],
                       v._embed_one(probe) / np.linalg.norm(v._embed_one(probe))])
-        expect = asnorm_trial_scores(e, np.asarray([[0, 1]]), v.cohort, top_k=4)
-        assert normed == pytest.approx(float(expect[0]), abs=1e-6)
+        expect_np = asnorm_trial_scores_np(
+            e, np.asarray([[0, 1]]), v.cohort, top_k=4)
+        assert normed == pytest.approx(float(expect_np[0]), abs=1e-6)
+        expect_dev = asnorm_trial_scores(
+            e, np.asarray([[0, 1]]), v.cohort, top_k=4)
+        assert normed == pytest.approx(float(expect_dev[0]), abs=5e-5)
 
         # identify ranks on the same normalized scale (the winner may differ
         # from raw cosine — per-profile cohort stats shift scores, and this
@@ -160,6 +167,44 @@ def test_cohort_asnorm_scoring(verifier):
         assert v.score(s0, probe) == pytest.approx(raw, abs=1e-6)
     finally:
         v.threshold, v.cohort = saved_thr, saved_cohort
+
+
+def test_pair_scores_host_fallback_matches_device():
+    """Batch-1 serving scores run on the host numpy twins below the
+    host_score_macs cutoff (zero device dispatches); forcing the device
+    back-end (cutoff 0) must give the same scores to f32 roundoff, raw
+    and AS-normed, and the cutoff must route large jobs to the device."""
+    from unittest import mock
+
+    from deeplip_tpu.serve.verifier import ProfileVerifier
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((6, 32)).astype(np.float32)
+    pairs = np.asarray([[0, 1], [2, 3], [4, 5]], np.int32)
+
+    v = ProfileVerifier()
+    v_dev = ProfileVerifier()
+    v_dev.host_score_macs = 0
+    for cohort in (None, rng.standard_normal((20, 32)).astype(np.float32)):
+        if cohort is not None:
+            v.set_cohort(cohort, top_k=8)
+            v_dev.set_cohort(cohort, top_k=8)
+        host = v._pair_scores(emb, pairs)
+        dev = v_dev._pair_scores(emb, pairs)
+        np.testing.assert_allclose(host, dev, rtol=0, atol=2e-6)
+
+    # routing: small job takes the numpy twin, huge cutoff-exceeding job
+    # takes the jitted path
+    with mock.patch("deeplip_tpu.eval.scoring.cosine_scores_np",
+                    wraps=__import__("deeplip_tpu.eval.scoring",
+                                     fromlist=["x"]).cosine_scores_np) as m:
+        v.set_cohort(None)
+        v._pair_scores(emb, pairs)
+        assert m.called
+    v.host_score_macs = 1  # nothing is small enough now
+    with mock.patch("deeplip_tpu.eval.scoring.cosine_scores_np") as m:
+        v._pair_scores(emb, pairs)
+        assert not m.called
 
 
 def _make_av_setup(tmp_path):

