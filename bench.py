@@ -125,6 +125,8 @@ def main():
     raw_cfg = dataclasses.replace(
         feat_cfg, normalize=False,
         precision="highest" if _plan == "r2" else _plan)
+    if os.environ.get("BENCH_DFT"):  # rDFT impl A/B (matmul|matmul_packed|…)
+        raw_cfg = dataclasses.replace(raw_cfg, dft=os.environ["BENCH_DFT"])
     model = SpeakerEmbNet.from_config(ETDNN_MODEL_OPTS)
 
     n_samples = int(UTT_SECONDS * RATE)

@@ -79,9 +79,13 @@ class FeatureConfig:
     # 256x3s batches): 'fft' holds the parity bar (2.7e-5) but XLA's
     # n_fft=512 TPU FFT is 1.5x SLOWER end-to-end (19.9 vs 13.2 ms);
     # 'matmul_fused' is +0.8% — real but below the rig's ~1.5% noise
-    # floor. 'matmul' stays the production default (keeps all committed
+    # floor; 'matmul_packed' (r4, fori-loop DSP probe at bs 256 'high')
+    # measures 1.22 ms/batch vs matmul's 1.14 / fused's 1.10 — the zero-pad
+    # DFT saving is outweighed by the mel matmul's contraction growing from
+    # 384 to 512 padded rows, and the end-to-end headline moves +0.2%
+    # (noise). 'matmul' stays the production default (keeps all committed
     # parity evidence byte-valid); details in docs/precision_budget_r03.md
-    # addenda.
+    # addenda + BENCH.md r4.
     dft: str = "matmul"
 
     @classmethod
@@ -96,6 +100,10 @@ class FeatureConfig:
         feat_type = data_opts.get("feat_type", "mfcc")
         sub = dict(data_opts.get(feat_type, {}))
         kw: dict[str, Any] = {"feat_type": feat_type, "rate": rate}
+        # rDFT implementation is selectable at the top data-config level
+        # (it is a device-efficiency choice, not a per-feat-type DSP param)
+        if data_opts.get("dft"):
+            kw["dft"] = str(data_opts["dft"])
         for src, dst in [
             ("n_fft", "n_fft"),
             ("num_bin", "num_bin"),

@@ -436,6 +436,16 @@ def test_packed_filterbank_guard_raises():
         spectral.mel_filterbank_packed(26, 512, 16000, 0.0, 8016.0)
 
 
+def test_feature_config_from_config_dft_key():
+    """The rDFT implementation is selectable from the top data-config level
+    (a device-efficiency choice, not a per-feat-type DSP param)."""
+    opts = {"rate": 16000, "feat_type": "mfcc",
+            "mfcc": {"num_cep": 24, "num_bin": 26}}
+    assert F.FeatureConfig.from_config(opts).dft == "matmul"
+    assert F.FeatureConfig.from_config(
+        {**opts, "dft": "matmul_fused"}).dft == "matmul_fused"
+
+
 def test_unknown_dft_impl_raises():
     cfg = F.FeatureConfig(feat_type="fbank", dft="winograd")
     with pytest.raises(NotImplementedError, match="dft"):
