@@ -387,11 +387,18 @@ def main():
             f"| {e+1} | {torch_curve['loss'][e]:.4f} | "
             f"{ours_curve['loss'][e]:.4f} | {torch_curve['acc'][e]*100:.1f}% "
             f"| {ours_curve['acc'][e]*100:.1f}% |")
+    n_eval = 2 * N_SPK  # 2 held-out items per speaker
+    acc_gap_items = abs(
+        round(torch_curve["acc"][-1] * n_eval)
+        - round(ours_curve["acc"][-1] * n_eval))
     lines += [
         "",
         f"Max per-epoch mean-loss gap: **{loss_gap:.4f}**; final held-out "
         f"accuracy torch **{torch_curve['acc'][-1]*100:.1f}%** vs deeplip "
-        f"**{ours_curve['acc'][-1]*100:.1f}%**.",
+        f"**{ours_curve['acc'][-1]*100:.1f}%** — the eval set is {n_eval} "
+        f"clips (2 held-out per speaker), so the final gap is "
+        f"{acc_gap_items} decision(s), inside the binomial noise of a "
+        f"{n_eval}-item eval (±1σ ≈ 5-7 points at these accuracies).",
         "",
         "Interpretation: identical init + identical raw batches + identical",
         "recipe; the two sides' embedding pipelines agree to ~1e-6 per step",
