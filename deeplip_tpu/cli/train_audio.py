@@ -23,7 +23,7 @@ import numpy as np
 
 from deeplip_tpu.cli.common import labels_from_speaker_prefix, utterances_from_trials
 from deeplip_tpu.core.config import load_audio_config
-from deeplip_tpu.data.audio_pipeline import EvalUtteranceSet
+from deeplip_tpu.data.audio_pipeline import EvalUtteranceSet, eval_set_kwargs
 from deeplip_tpu.eval.plda import PLDA, plda_eer
 from deeplip_tpu.eval.scoring import (
     EmbeddingStore,
@@ -36,21 +36,11 @@ from deeplip_tpu.train.audio import AudioTrainer
 
 
 def _test_set(trainer: AudioTrainer, trial_path: str, root: str) -> EvalUtteranceSet:
-    test_opts = trainer.test_opts
+    # one shared test_opts mapping (bucket_frames / batch_size / int16
+    # transport / adaptive n_buckets) for every extraction surface
     return EvalUtteranceSet(
         utterances_from_trials(trial_path, root),
-        rate=trainer.feat_cfg.rate,
-        win_len=trainer.feat_cfg.win_len,
-        win_shift=trainer.feat_cfg.win_shift,
-        bucket_frames=int(test_opts.get("bucket_frames", 100)),
-        batch_size=int(test_opts.get("batch_size", 64)),
-        # "int16" ships PCM16 host→device at half the bytes (exact for
-        # PCM16 corpora at the config rate — see EvalUtteranceSet)
-        transport=str(test_opts.get("transport", "float32")),
-        # corpus-adaptive DP-optimal bucket edges (several-fold less
-        # pad-frame waste than fixed bucket_frames on ragged corpora)
-        n_buckets=(int(test_opts["n_buckets"])
-                   if test_opts.get("n_buckets") is not None else None),
+        **eval_set_kwargs(trainer.feat_cfg, trainer.test_opts),
     )
 
 
@@ -92,14 +82,7 @@ def run_mode(trainer: AudioTrainer, cfg, mode: str) -> None:
             dev_names = [l.strip() for l in open(data["plda_dev_list"]) if l.strip()]
             dev_set = EvalUtteranceSet(
                 utterances_from_trials_list(dev_names, data.get("dev_root", ".")),
-                rate=trainer.feat_cfg.rate,
-                win_len=trainer.feat_cfg.win_len,
-                win_shift=trainer.feat_cfg.win_shift,
-                bucket_frames=int(trainer.test_opts.get("bucket_frames", 100)),
-                batch_size=int(trainer.test_opts.get("batch_size", 64)),
-                n_buckets=(int(trainer.test_opts["n_buckets"])
-                           if trainer.test_opts.get("n_buckets") is not None
-                           else None),
+                **eval_set_kwargs(trainer.feat_cfg, trainer.test_opts),
             )
             dev_store = trainer.extract_embeddings(dev_set)
             x = np.stack([dev_store[n] for n in dev_names])

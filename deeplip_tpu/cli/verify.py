@@ -81,7 +81,11 @@ def _make_verifier(args, need_profiles: bool = True):
     # calibrated on that same scale (fingerprint match).
     cf = os.path.join(args.profiles, "_cohort.npz")
     if os.path.exists(cf):
-        with np.load(cf, allow_pickle=True) as z:
+        # allow_pickle stays False (the default): the stored values are a
+        # float32 matrix, an int scalar, and a unicode identity string —
+        # none need pickling, and loading a shared/untrusted profiles dir
+        # must never execute pickle payloads.
+        with np.load(cf) as z:
             v.set_cohort(z["cohort"], top_k=int(z["top_k"]))
             if "identity" in z:
                 _check_identity("_cohort.npz", json.loads(str(z["identity"])),
@@ -92,7 +96,10 @@ def _make_verifier(args, need_profiles: bool = True):
             rec = json.load(f)
         _check_identity("_threshold.json", rec, args)
         active_fp = cohort_fingerprint(v.cohort, v.cohort_top_k)
-        if rec.get("cohort_fp", active_fp) != active_fp:
+        # a record without cohort_fp predates fingerprinting: only trust it
+        # on the raw-cosine scale (active_fp None); with a cohort active it
+        # must be treated as a scale mismatch, not silently applied
+        if rec.get("cohort_fp") != active_fp:
             _warn(
                 "_threshold.json was calibrated on a different scoring "
                 "scale (cohort changed since) — ignoring the stale "

@@ -162,9 +162,20 @@ def resample(
     if orig_rate == target_rate:
         return data
     if method == "kaiser_best":
-        return _resample_sinc(
-            np.asarray(data, np.float64), orig_rate, target_rate
-        ).astype(np.float32)
+        y = _resample_sinc(np.asarray(data, np.float64), orig_rate, target_rate)
+        # librosa fixes resampy's raw output to exactly ceil(n*target/orig)
+        # samples (librosa.core.resample: util.fix_length(y_hat, n_samples)
+        # — the reference's actual final output). resampy's internal
+        # divide-first float ceil can disagree by one sample when f64
+        # rounding crosses an integer boundary (e.g. n=147 at 44100→48000:
+        # raw 161 vs exact 160), which would put resample() one sample off
+        # resampled_length() and mis-bucket the utterance downstream.
+        n_out = resampled_length(len(data), orig_rate, target_rate)
+        if len(y) > n_out:
+            y = y[:n_out]
+        elif len(y) < n_out:
+            y = np.pad(y, (0, n_out - len(y)))
+        return y.astype(np.float32)
     if method != "polyphase":
         raise ValueError(f"unknown resample method {method!r}")
     from math import gcd

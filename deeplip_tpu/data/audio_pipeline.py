@@ -120,6 +120,29 @@ class EvalUtterance:
     path: str
 
 
+def eval_set_kwargs(feat_cfg, test_opts: dict) -> dict:
+    """The one ``test_opts`` → :class:`EvalUtteranceSet` kwargs mapping.
+
+    Shared by the train/test CLIs, the snorm/PLDA dev-set extraction, and
+    the serving layer so every extraction surface honors the same config
+    knobs (``bucket_frames`` / ``batch_size`` / ``transport`` /
+    ``n_buckets``) — a per-call-site copy let ``transport`` silently not
+    apply to the dev sweep (r4 review), which also forced a second jit
+    compile of the embed fn for the other PCM dtype.
+    """
+    kw = dict(
+        rate=feat_cfg.rate,
+        win_len=feat_cfg.win_len,
+        win_shift=feat_cfg.win_shift,
+        bucket_frames=int(test_opts.get("bucket_frames", 100)),
+        batch_size=int(test_opts.get("batch_size", 64)),
+        transport=str(test_opts.get("transport", "float32")),
+    )
+    if test_opts.get("n_buckets") is not None:
+        kw["n_buckets"] = int(test_opts["n_buckets"])
+    return kw
+
+
 def optimal_bucket_edges(lengths: Sequence[int], n_buckets: int) -> list[int]:
     """DP-optimal bucket tops minimizing total pad frames.
 

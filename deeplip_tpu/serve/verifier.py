@@ -270,16 +270,10 @@ class SpeakerVerifier(ProfileVerifier):
 
     # -- embedding -------------------------------------------------------
     def _utt_set(self, utts: Sequence[EvalUtterance], reader=None) -> EvalUtteranceSet:
+        from deeplip_tpu.data.audio_pipeline import eval_set_kwargs
+
         t = self.trainer
-        kw = dict(
-            rate=t.feat_cfg.rate, win_len=t.feat_cfg.win_len,
-            win_shift=t.feat_cfg.win_shift,
-            bucket_frames=int(t.test_opts.get("bucket_frames", 100)),
-            batch_size=int(t.test_opts.get("batch_size", 64)),
-            transport=str(t.test_opts.get("transport", "float32")),
-        )
-        if t.test_opts.get("n_buckets") is not None:
-            kw["n_buckets"] = int(t.test_opts["n_buckets"])
+        kw = eval_set_kwargs(t.feat_cfg, t.test_opts)
         if reader is not None:
             kw["reader"] = reader
         return EvalUtteranceSet(utts, **kw)

@@ -642,6 +642,27 @@ def test_cli_verify_service(cli_corpus, tmp_path, capsys):
     ident = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ident["ranking"][0]["speaker"] == "alice"
 
+    # r4 review regression: a LEGACY _threshold.json (predates cohort_fp)
+    # must be treated as a scale mismatch while a cohort is active — not
+    # silently applied to AS-normed scores
+    tf = os.path.join(profiles, "_threshold.json")
+    rec = json.load(open(tf))
+    legacy = {k: v for k, v in rec.items() if k != "cohort_fp"}
+    json.dump(legacy, open(tf, "w"))
+    with pytest.raises(ValueError, match="no operating threshold"):
+        main(["verify", *common, "alice", spk0[2]])
+    capsys.readouterr()
+    # ...but on the raw-cosine scale (no cohort) a legacy record is valid
+    os.remove(os.path.join(profiles, "_cohort.npz"))
+    main(["verify", *common, "alice", spk0[2]])
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["threshold"] == pytest.approx(legacy["threshold"])
+    json.dump(rec, open(tf, "w"))  # restore for the blocks below
+    main(["cohort", *common, "--top-k", "4", *impostors])
+    capsys.readouterr()
+    main(["calibrate", *common, "--trials", trial_path, "--root", root])
+    capsys.readouterr()
+
     # a cohort built under a different model identity (config/checkpoint
     # path) warns on later use: its embeddings may come from another space
     import shutil

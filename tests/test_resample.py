@@ -34,6 +34,24 @@ def test_kaiser_best_matches_resampy_oracle(sr_orig, sr_new, n):
     assert np.max(np.abs(got - want.astype(np.float32))) <= 2e-7
 
 
+def test_kaiser_best_length_fixed_to_exact_ceil():
+    """r4 review regression: resampy's internal divide-first float ceil
+    gives 161 raw output samples for n=147 at 44100→48000 while the exact
+    (librosa fix_length / resampled_length) count is 160; resample() must
+    return exactly resampled_length samples so header-based eval bucketing
+    never disagrees with the decoded PCM by a sample."""
+    rng = np.random.default_rng(147)
+    x = (rng.standard_normal(147) * 0.3).astype(np.float64)
+    assert int(np.ceil(147 * (48000 / 44100))) == 161  # the raw mismatch
+    got = resample(x, 44100, 48000, method="kaiser_best")
+    assert got.shape == (resampled_length(147, 44100, 48000),) == (160,)
+    # values are the oracle's well-defined librosa-length prefix (the raw
+    # 161st sample is an out-of-bounds read in real resampy's numba kernel
+    # — see the oracle's docstring)
+    want = resampy_oracle.resample(x, 44100, 48000, n_out=160)
+    assert np.max(np.abs(got - want.astype(np.float32))) <= 2e-7
+
+
 def test_kaiser_best_filter_response():
     """Passband tone preserved, above-Nyquist tone suppressed (the
     anti-aliasing property that makes downsampled features meaningful)."""
