@@ -130,6 +130,46 @@ def _read_wav_riff(path, start, stop, mono):
                 f.seek(size + (size & 1), 1)
 
 
+def wav_format(path: str) -> tuple[int, int, int] | None:
+    """Header-only probe: ``(fmt_tag, bits_per_sample, rate)`` or ``None``.
+
+    ``fmt_tag`` is the RIFF format code (1 = integer PCM, 3 = IEEE float;
+    WAVE_FORMAT_EXTENSIBLE resolves to its subformat). Used by the eval
+    pipeline's ``transport="auto"`` to decide whether int16 host→device
+    transport is value-exact for a corpus: it is iff every source is
+    integer PCM16 already at the target rate (then ``round(y·32768)``
+    recovers the stored sample bit-exactly). Returns ``None`` for anything
+    that does not parse as RIFF/WAVE — callers must then assume the
+    conservative float32 transport.
+    """
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            if f.read(4) != b"RIFF":
+                return None
+            f.read(4)
+            if f.read(4) != b"WAVE":
+                return None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return None
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    buf = f.read(size)
+                    if len(buf) < 16:
+                        return None
+                    fmt, _ch, rate = struct.unpack("<HHI", buf[:8])
+                    bits = struct.unpack("<H", buf[14:16])[0]
+                    if fmt == 0xFFFE and size >= 40:
+                        fmt = struct.unpack("<H", buf[24:26])[0]
+                    return fmt, bits, rate
+                f.seek(size + (size & 1), 1)
+    except OSError:
+        return None
+
+
 def write_wav(path: str, data: np.ndarray, rate: int) -> None:
     """Write float32 [-1, 1] mono/stereo data as PCM16 WAV."""
     data = np.asarray(data)

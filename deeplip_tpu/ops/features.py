@@ -290,24 +290,54 @@ def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     return cep
 
 
-def stft_features(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def stft_features(
+    signal: jnp.ndarray,
+    cfg: FeatureConfig,
+    sample_lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """librosa-style log1p STFT magnitude ``(..., T, n_fft//2+1)``.
 
     Matches the reference's stft branch (``datasets.py:72-76``): centered
     frames with reflect padding, periodic Hann of ``win_len`` samples padded
     to ``n_fft``, magnitude, ``log1p``, time-major output.
+
+    ``sample_lengths`` (r5, closes the PARITY.md stft bucketed-eval
+    deviation): in a zero-padded batch, librosa's centered reflect framing
+    must reflect around each row's TRUE signal end, not the batch pad — the
+    last ~``n_fft/(2·hop)`` frames of every utterance otherwise see pad
+    zeros. With lengths given, the reflect-padded buffer is built as one
+    in-graph gather: padded position ``p`` maps to source index
+    ``fold(p - n_fft//2, L)`` where ``fold`` is numpy's 'reflect' triangle
+    fold with period ``2L-2`` (multi-fold exact for ``L < n_fft//2``). Each
+    row's first ``1 + L//hop`` frames are then bit-identical to
+    per-utterance extraction (frames beyond carry finite fold values the
+    masked CMVN/pooling exclude). Rows at full buffer length reproduce the
+    unmasked path exactly, so parity evidence is unchanged.
     """
     win_length = int(cfg.rate * cfg.win_len)
     hop = int(cfg.rate * cfg.win_shift)
     pad = cfg.n_fft // 2
-    widths = [(0, 0)] * (signal.ndim - 1) + [(pad, pad)]
-    padded = jnp.pad(signal, widths, mode="reflect")
     # librosa frames the centered signal into ceil-free 1 + (len // hop) cols
     n_cols = 1 + signal.shape[-1] // hop
-    need = (n_cols - 1) * hop + cfg.n_fft
-    if need > padded.shape[-1]:
-        extra = [(0, 0)] * (signal.ndim - 1) + [(0, need - padded.shape[-1])]
-        padded = jnp.pad(padded, extra)
+    if sample_lengths is not None:
+        # per-row reflect framing around the true signal end, as one gather:
+        # build exactly the buffer length sliding_frames consumes
+        k = -(-cfg.n_fft // hop)  # ceil
+        need = (n_cols - 1 + k) * hop
+        lengths = jnp.asarray(sample_lengths)[..., None]          # (..., 1)
+        pos = jnp.arange(need) - pad                              # (need,)
+        period = jnp.maximum(2 * (lengths - 1), 1)
+        m = jnp.mod(pos, period)                                  # (..., need)
+        idx = jnp.where(m >= lengths, period - m, m)
+        idx = jnp.clip(idx, 0, signal.shape[-1] - 1).astype(jnp.int32)
+        padded = jnp.take_along_axis(signal, idx, axis=-1)
+    else:
+        widths = [(0, 0)] * (signal.ndim - 1) + [(pad, pad)]
+        padded = jnp.pad(signal, widths, mode="reflect")
+        need = (n_cols - 1) * hop + cfg.n_fft
+        if need > padded.shape[-1]:
+            extra = [(0, 0)] * (signal.ndim - 1) + [(0, need - padded.shape[-1])]
+            padded = jnp.pad(padded, extra)
     frames = framing.sliding_frames(padded, cfg.n_fft, hop, n_cols)
     window = spectral.hann_window(win_length, periodic=True)
     # center the window inside the n_fft frame, zero elsewhere (librosa util.pad_center)
@@ -386,7 +416,11 @@ def extract_features(
     lengths given, pre-emphasis is applied here and masked, and the inner
     front-ends run with ``preemph=0`` (an exact no-op). The stft front-end
     never pre-emphasizes (reference: librosa.stft on raw PCM,
-    ``datasets.py:73-76``), so lengths leave it untouched. Per-utterance
+    ``datasets.py:73-76``); lengths instead drive its per-row reflect
+    framing around the true signal end (see :func:`stft_features`), making
+    each row's valid frames bit-equal to per-utterance extraction in padded
+    batches (r5 — the bucketed-eval deviation PARITY.md used to document,
+    now closed). Per-utterance
     statistics over a padded batch cannot be computed here (CMVN/deltas
     would average pad-derived frames): pass ``normalize=False``/
     ``delta=False`` and apply a masked CMVN downstream
@@ -419,7 +453,7 @@ def extract_features(
     elif cfg.feat_type == "logfbank":
         feat = logfbank(signal, cfg)
     elif cfg.feat_type == "stft":
-        feat = stft_features(signal, cfg)
+        feat = stft_features(signal, cfg, sample_lengths=sample_lengths)
     else:
         raise NotImplementedError(f"unknown feat_type {cfg.feat_type!r}")
     if cfg.normalize:

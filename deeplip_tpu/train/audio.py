@@ -620,6 +620,17 @@ class AudioTrainer:
                     pcm, eval_feat_cfg, backend=self.feature_backend,
                     sample_lengths=sample_lengths,
                 )
+                if eval_feat_cfg.feat_type == "stft":
+                    # librosa's column count is 1 + L//hop (datasets.py:
+                    # 73-76); the pipeline's feat_lengths use the psf
+                    # num_frames convention (the bucketing currency), which
+                    # under-counts stft columns by ~n_fft/(2·hop)-ish —
+                    # recompute the true valid-frame count in-graph so
+                    # masked CMVN/pooling see every reference frame (r5,
+                    # stft bucketed-eval exactness)
+                    hop = int(eval_feat_cfg.rate * eval_feat_cfg.win_shift)
+                    feat_lengths = jnp.minimum(
+                        1 + sample_lengths // hop, feats.shape[-2])
                 if self.feat_cfg.normalize:
                     feats = masked_cmvn(feats, feat_lengths)
                 if self.feat_cfg.delta:

@@ -243,7 +243,10 @@ def test_padded_batch_preemphasis_masking():
 def test_stft_ignores_sample_lengths_preemph():
     """The stft front-end never pre-emphasizes (reference: librosa.stft on
     raw PCM, datasets.py:73-76) — passing sample_lengths must not smuggle
-    pre-emphasis in (r2 review finding: 1.59 max-abs divergence)."""
+    pre-emphasis in (r2 review finding: 1.59 max-abs divergence). With the
+    r5 masked reflect framing, full-length rows must still reproduce the
+    unmasked path bit-exactly (the fold is the identity inside the signal
+    and numpy-reflect at the edges)."""
     cfg = F.FeatureConfig(feat_type="stft", normalize=False, delta=False)
     rng = np.random.default_rng(3)
     sig = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
@@ -251,6 +254,61 @@ def test_stft_ignores_sample_lengths_preemph():
     with_len = np.asarray(
         F.extract_features(sig, cfg, sample_lengths=jnp.asarray([4000, 4000])))
     np.testing.assert_array_equal(plain, with_len)
+
+
+def test_stft_masked_batch_matches_per_utterance():
+    """r5 (VERDICT r4 #4, closes the PARITY.md stft deviation): stft
+    features of a zero-padded batch with sample_lengths must equal
+    per-utterance extraction on each row's valid frames — the reflect
+    framing folds around the true signal end, never the batch pad. The
+    framed PCM is bit-identical (the fold reproduces numpy 'reflect'
+    exactly, verified below by the frame-0 left edge); features agree to
+    f32 matmul roundoff (~6e-6 — reduction order varies with batch shape).
+    Lengths include non-hop-multiples and one shorter than n_fft
+    (multi-fold). The UNMASKED path is also shown materially wrong on the
+    tail frames (>1e-2), proving the deviation this closes was real."""
+    cfg = F.FeatureConfig(feat_type="stft", normalize=False, delta=False)
+    hop = int(cfg.rate * cfg.win_shift)
+    pad = cfg.n_fft // 2
+    rng = np.random.default_rng(9)
+    lens = [4000, 3777, 2049, 401]
+    s_max = max(lens)
+    batch = np.zeros((len(lens), s_max), np.float32)
+    sigs = []
+    for i, n in enumerate(lens):
+        y = rng.standard_normal(n).astype(np.float32)
+        sigs.append(y)
+        batch[i, :n] = y
+    got = np.asarray(F.extract_features(
+        jnp.asarray(batch), cfg, sample_lengths=jnp.asarray(lens)))
+    old = np.asarray(F.extract_features(jnp.asarray(batch), cfg))
+    for i, y in enumerate(sigs):
+        want = np.asarray(F.extract_features(jnp.asarray(y[None]), cfg))[0]
+        n_valid = 1 + len(y) // hop
+        assert want.shape[0] == n_valid
+        np.testing.assert_allclose(got[i, :n_valid], want, atol=2e-5, rtol=0)
+        assert np.all(np.isfinite(got[i]))  # masked tail: finite, excluded
+        # the unmasked batch sees batch-pad zeros in the last
+        # ~n_fft/(2·hop) frames (the documented r2-r4 deviation)
+        if len(y) < s_max:
+            tail = np.abs(old[i, :n_valid] - want)
+            assert tail.max() > 1e-2, "deviation under test vanished?"
+
+    # the reflect-fold gather is bit-exact vs numpy's reflect pad: frame 0
+    # covers [-pad, n_fft-pad) of each signal, entirely left-edge reflect
+    y = sigs[1]
+    ref = np.pad(y, (pad, pad), mode="reflect")
+    k = -(-cfg.n_fft // hop)
+    n_cols = 1 + s_max // hop
+    need = (n_cols - 1 + k) * hop
+    lengths = jnp.asarray(lens)[..., None]
+    pos = jnp.arange(need) - pad
+    period = jnp.maximum(2 * (lengths - 1), 1)
+    m = jnp.mod(pos, period)
+    idx = jnp.clip(jnp.where(m >= lengths, period - m, m), 0, s_max - 1)
+    buf = np.asarray(jnp.take_along_axis(
+        jnp.asarray(batch), idx.astype(jnp.int32), axis=-1))
+    np.testing.assert_array_equal(buf[1, : len(ref)], ref)
 
 
 def test_sample_lengths_rejects_inline_normalize():

@@ -35,7 +35,12 @@ def test_embed_files_matches_embed_pcm(verifier):
     e_file = v.embed_files({"u": path})["u"]
     pcm, sr = read_wav(path)
     e_pcm = v.embed_pcm({"u": pcm}, rate=sr)["u"]
-    np.testing.assert_array_equal(e_file, e_pcm)
+    # r5: embed_files resolves transport='auto' → int16 on this PCM16
+    # corpus; the model sees IDENTICAL float32 PCM (value-exact rescale)
+    # but the extra convert op fuses differently, so agreement is f32
+    # roundoff, not bit-equality (same bar as
+    # test_int16_transport_bit_equal)
+    np.testing.assert_allclose(e_file, e_pcm, atol=1e-6, rtol=0)
     # LMCL-path embeddings come out unit-norm (train_audio.py:318-320)
     assert abs(float(np.linalg.norm(e_file)) - 1.0) < 1e-5
 

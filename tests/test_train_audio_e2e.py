@@ -175,6 +175,136 @@ def test_int16_transport_bit_equal(corpus, tmp_path):
         np.testing.assert_allclose(f32[u.name], i16[u.name], atol=1e-6, rtol=0)
 
 
+def test_stft_bucketed_extraction_matches_exact(corpus, tmp_path):
+    """r5 (VERDICT r4 #4): feat_type=stft embeddings from the default
+    bucketed/padded extractor must match exact-length per-utterance
+    extraction — the masked reflect framing + the librosa-convention
+    valid-frame count (1 + L//hop) make the padded batch see exactly the
+    reference's frames. Before r5 the tail frames saw batch-pad zeros
+    (documented deviation, now closed)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from deeplip_tpu.data.audio_io import read_wav
+    from deeplip_tpu.ops import features as F
+
+    root, manifest, _ = corpus
+    cfg = _config(tmp_path, root)
+    cfg["data"]["python_data_config"] = {
+        "rate": 16000,
+        "feat_type": "stft",
+        "stft": {"n_fft": 512, "normalize": True, "delta": False,
+                 "win_len": 0.025, "win_shift": 0.01},
+    }
+    cfg["model"] = dict(TINY_MODEL)
+    cfg["model"]["tdnn"] = dict(TINY_MODEL["tdnn"], input_dim=257)
+    trainer = AudioTrainer(cfg, mesh=make_mesh(),
+                           exp_root=str(tmp_path / "exp_stft"), log_time="t1")
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ][:5]
+    # truncate to ragged lengths so the padded buckets really pad
+    raggeds = {}
+    for i, u in enumerate(utts):
+        y, _sr = read_wav(u.path)
+        n = len(y) - (i * 1777) % 7000
+        raggeds[u.name] = y[:n].astype(np.float32)
+        p = str(tmp_path / f"rag{i}.wav")
+        from deeplip_tpu.data.audio_io import write_wav
+
+        write_wav(p, raggeds[u.name], 16000)
+        utts[i] = EvalUtterance(u.name, p)
+        y2, _ = read_wav(p)
+        raggeds[u.name] = y2.astype(np.float32)  # PCM16 round-trip values
+
+    store = trainer.extract_embeddings(
+        EvalUtteranceSet(utts, batch_size=4, bucket_frames=100, num_workers=1))
+
+    # exact-length per-utterance reference through the same jitted embed
+    state = trainer.ensure_state()
+    embed = trainer._embed_fns["embed"]
+    hop = int(trainer.feat_cfg.rate * trainer.feat_cfg.win_shift)
+    for u in utts:
+        y = raggeds[u.name]
+        t = 1 + len(y) // hop
+        ref = np.asarray(embed(
+            state.params, state.batch_stats, jnp.asarray(y[None]),
+            jnp.asarray([t], jnp.int32), jnp.asarray([len(y)], jnp.int32),
+        ))[0]
+        np.testing.assert_allclose(store[u.name], ref, atol=2e-5, rtol=0)
+
+
+def _write_float32_wav(path, data, rate):
+    """IEEE-float32 (fmt tag 3) WAV — the librosa/soundfile output format."""
+    import struct
+
+    pcm = np.asarray(data, "<f4").tobytes()
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_auto_transport_resolution(corpus, tmp_path):
+    """``transport="auto"`` (the eval_set_kwargs default, r5) must resolve
+    to int16 iff EVERY utterance is an integer-PCM16 wav already at the
+    target rate (where quantized transport is value-exact), and fall back
+    to float32 when any utterance is IEEE-float or needs resampling."""
+    root, manifest, _ = corpus
+    utts = [
+        EvalUtterance("/".join(u.path.split(os.sep)[-2:]), u.path)
+        for _, u in manifest.all_utterances()
+    ][:4]
+
+    def resolve(utt_list):
+        es = EvalUtteranceSet(utt_list, batch_size=2, bucket_frames=50,
+                              num_workers=1, transport="auto")
+        dtypes = {b["pcm"].dtype.name for b in es.batches()}
+        return es._resolved_transport, dtypes
+
+    res, dtypes = resolve(utts)
+    assert res == "int16" and dtypes == {"int16"}
+
+    # one IEEE-float32 wav in the corpus → the whole sweep ships float32
+    # (round-tripping its samples through int16 would NOT be value-exact)
+    rng = np.random.default_rng(0)
+    fp = str(tmp_path / "ieee_float.wav")
+    _write_float32_wav(fp, rng.standard_normal(4000).astype(np.float32) * 0.1,
+                       16000)
+    res, dtypes = resolve(utts + [EvalUtterance("f32", fp)])
+    assert res == "float32" and dtypes == {"float32"}
+
+    # a wrong-rate wav (resampled leg) likewise forces float32
+    from deeplip_tpu.data.audio_io import write_wav
+
+    wp = str(tmp_path / "rate8k.wav")
+    write_wav(wp, rng.standard_normal(1600).astype(np.float32) * 0.1, 8000)
+    res, dtypes = resolve(utts + [EvalUtterance("r8k", wp)])
+    assert res == "float32" and dtypes == {"float32"}
+
+
+def test_eval_set_kwargs_defaults():
+    """r5 (VERDICT r4 #3): the measured eval wins are the shipped defaults —
+    adaptive DP-optimal buckets (n_buckets=8) and value-exact-when-possible
+    int16 transport ('auto') — with explicit config opt-outs."""
+    from deeplip_tpu.data.audio_pipeline import eval_set_kwargs
+    from deeplip_tpu.ops.features import FeatureConfig
+
+    cfg = FeatureConfig()
+    kw = eval_set_kwargs(cfg, {})
+    assert kw["transport"] == "auto" and kw["n_buckets"] == 8
+
+    kw = eval_set_kwargs(cfg, {"n_buckets": 0, "transport": "float32"})
+    assert "n_buckets" not in kw and kw["transport"] == "float32"
+
+    kw = eval_set_kwargs(cfg, {"n_buckets": None, "transport": "int16"})
+    assert kw["n_buckets"] == 8 and kw["transport"] == "int16"
+
+
 def test_attentive_pooling_trainer_path(corpus, tmp_path):
     """Train a few steps with attentive-statistics pooling via the trainer."""
     import copy
@@ -298,7 +428,7 @@ def test_eval_set_resampled_length_exact(tmp_path):
     es = EvalUtteranceSet(utts, rate=16000, batch_size=2, bucket_frames=10,
                           num_workers=1)
     for utt in utts:
-        _, n_est = es._utt_samples(utt)
+        _, n_est, _ = es._utt_samples(utt)
         y, sr = read_wav(utt.path)
         y16 = resample(y, sr, 16000)
         assert n_est == len(y16), (utt.path, n_est, len(y16))
