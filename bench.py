@@ -67,6 +67,10 @@ import numpy as np
 # dispatch, masked CMVN/pooling and scoring all included.
 _PROFILE = os.environ.get("BENCH_PROFILE", "lomgrid")
 REFERENCE_CPU_TRIALS_PER_SEC = 24.2 if _PROFILE == "grid" else 165.8
+# torch Lipreading-equivalent per-clip batch-1 extraction on this host
+# (benchmarks/reference_cpu_baseline.py --av, measured 2026-08-20:
+# 0.0105 s/frame at T=50; re-run that script to refresh)
+CPU_SEC_PER_VIDEO_FRAME = 0.0105
 N_UNIQUE_UTTS = 25834 if _PROFILE == "grid" else 3541
 N_TRIALS = 20000
 UTT_SECONDS = 3.0
@@ -89,16 +93,17 @@ def main():
 
     sys.path.insert(0, "/root/repo")
 
-    if _PROFILE == "ragged":
+    if _PROFILE in ("ragged", "av"):
         from deeplip_tpu.train.flops import mfu_fields
 
-        trials_per_sec, flops, extras = _ragged_sweep(jax, jnp)
+        sweep_fn = _av_sweep if _PROFILE == "av" else _ragged_sweep
+        trials_per_sec, flops, extras = sweep_fn(jax, jnp)
         record = {
             "metric": "verification_trials_per_sec",
             "value": round(trials_per_sec, 1),
             "unit": "trials/sec",
             "vs_baseline": round(trials_per_sec / extras.pop("cpu_tps"), 2),
-            "profile": "ragged",
+            "profile": _PROFILE,
         }
         record.update(mfu_fields(flops, trials_per_sec / N_TRIALS))
         record.update(extras)
@@ -471,6 +476,228 @@ def _ragged_flops(jnp, trainer, shape_counts):
             embed, state.params, state.batch_stats,
             jnp.zeros((rows, s_max), jnp.int16),  # dtype: FLOPs-identical
             jnp.ones((rows,), jnp.int32), jnp.ones((rows,), jnp.int32),
+        )
+        if f is None:
+            return None
+        total += f * n
+    return total or None
+
+
+def _av_sweep(jax, jnp):
+    """End-to-end AUDIO-VISUAL protocol throughput (VERDICT r4 #1).
+
+    The system's name-giving workload, measured as one number for the first
+    time: a LOMGRID-scale paired corpus (ragged 1-3 s PCM16 wavs + one
+    uint8 ROI npz clip per utterance at 25 fps, the ``test_av_scoring_e2e``
+    shape at protocol scale) driven through BOTH shipping extractors —
+    ``AudioTrainer.extract_embeddings`` (E-TDNN, eval_set_kwargs defaults)
+    and ``VideoTrainer.embedding_store`` (full Lipreading ResNet-18
+    frame-feature path, per-clip time-mean) — then 20k trials scored by
+    score-level fusion AND feature-level fusion (z-norm + concat + cosine),
+    the reference's AV test back-ends
+    (``/root/reference/train_fusion.py:317-420``,
+    ``models/audio_models/utils.py:331-523``; its video leg embeds clips in
+    a per-clip batch-1 host loop, ``train_fusion.py:341-349``).
+
+    ``cpu_tps``: the reference-equivalent CPU PyTorch AV sweep extrapolated
+    from per-stage measurements on this host
+    (``benchmarks/reference_cpu_baseline.py`` + ``--av``): audio 0.0316
+    s/utt at 3 s (linear in duration), video ``CPU_SEC_PER_VIDEO_FRAME``
+    per frame through the torch Lipreading equivalent batch-1, and
+    0.43 ms/trial per scoring loop (two back-ends → 2 loops + the z-norm
+    concat, conservatively counted as 2).
+    """
+    import shutil
+    import tempfile
+
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.data.audio_io import write_wav
+    from deeplip_tpu.data.audio_pipeline import (
+        EvalUtterance,
+        EvalUtteranceSet,
+        eval_set_kwargs,
+    )
+    from deeplip_tpu.data.video_dataset import VideoClip, VideoClipBatches
+    from deeplip_tpu.eval.scoring import (
+        TrialList,
+        feature_fusion_eer,
+        score_fusion_eer,
+    )
+    from deeplip_tpu.train.audio import AudioTrainer
+    from deeplip_tpu.train.video import VideoTrainer
+    from deeplip_tpu.ops.framing import frame_len_step, num_frames
+    from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
+
+    fps = 25
+    video_bs = 8 if _SMOKE else int(os.environ.get("BENCH_VIDEO_BATCH", 32))
+    bucket_t = 4 if _SMOKE else 5
+    cfg = Config({
+        "data": {"frames": [200, 400], "python_data_config": AUDIO_DATA_OPTS},
+        "model": ETDNN_MODEL_OPTS,
+        "train": {
+            "type": "sgd", "bs": BATCH, "lr_decay": 0.1,
+            "lr_decay_step": [15, 25], "epoch": 1, "loss": "LMCL",
+            "scale": 30, "margin": [0.2, 0.2],
+            "sgd": {"init_lr": 0.01, "weight_decay": 1e-5, "momentum": 0.9},
+        },
+        # all-default extraction knobs (adaptive buckets, auto transport)
+        "test": {"batch_size": BATCH, "matmul_precision": "high"},
+    })
+
+    rng = np.random.default_rng(13)
+    lo, hi = (0.3, 0.7) if _SMOKE else (1.0, 3.0)
+    durations = rng.uniform(lo, hi, N_UNIQUE_UTTS)
+    mean_dur = float(durations.mean())
+    t_frames_v = np.maximum((durations * fps).astype(int), 8)
+    total_frames = int(t_frames_v.sum())
+    cpu_total = (
+        N_UNIQUE_UTTS * 0.0316 * mean_dur / 3.0
+        + total_frames * CPU_SEC_PER_VIDEO_FRAME
+        + 2 * N_TRIALS * 0.00043
+    )
+    cpu_tps = N_TRIALS / cpu_total
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    corpus = tempfile.mkdtemp(prefix="deeplip_bench_av_", dir=tmp_root)
+    try:
+        # --- paired corpus synthesis (not timed: the reference reads
+        # existing wav + ROI-npz corpora)
+        base = rng.standard_normal(int(hi * RATE)).astype(np.float32) * 0.1
+        vbase = rng.integers(0, 255, (int(hi * fps) + 8, 96, 96),
+                             dtype=np.uint8)
+        utts, clips = [], []
+        for i, dur in enumerate(durations):
+            pcm = np.roll(base, i * 131)[: int(dur * RATE)] * (
+                0.5 + (i % 7) / 7.0)
+            p = os.path.join(corpus, f"utt{i:06d}.wav")
+            write_wav(p, pcm, RATE)
+            name = f"utt{i:06d}"
+            utts.append(EvalUtterance(name, p))
+            vp = os.path.join(corpus, f"utt{i:06d}.npz")
+            np.savez(vp, data=np.roll(vbase, i % 32, axis=1)[: t_frames_v[i]])
+            clips.append(VideoClip(vp, i % 36, name))
+
+        labels = rng.integers(0, 2, N_TRIALS).astype(np.int8)
+        pair_idx = rng.integers(0, N_UNIQUE_UTTS, (N_TRIALS, 2))
+        trials = TrialList(
+            labels,
+            [utts[i].name for i in pair_idx[:, 0]],
+            [utts[j].name for j in pair_idx[:, 1]],
+        )
+
+        atrainer = AudioTrainer(cfg, n_spk=36)
+        atrainer.ensure_state()
+        set_kw = eval_set_kwargs(atrainer.feat_cfg, dict(cfg.test))
+        vtrainer = VideoTrainer(
+            Config({"backbone_type": "resnet", "relu_type": "prelu",
+                    "tcn_dropout": 0.2, "tcn_dwpw": False,
+                    "tcn_kernel_size": [3, 5, 7], "tcn_num_layers": 4,
+                    "tcn_width_mult": 1, "width_mult": 1.0}),
+            num_classes=36, crop_size=(88, 88))
+        vtrainer.ensure_state()
+
+        fl, fs = frame_len_step(0.025, 0.01, RATE)
+        a_shapes, v_shapes = {}, {}
+        stats = {"a_pad": 0, "a_total": 0, "v_pad": 0, "v_total": 0,
+                 "h2d_bytes": 0}
+
+        class _TalliedAudio:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def batches(self):
+                for b in self.inner.batches():
+                    rows, s_max = b["pcm"].shape
+                    t = num_frames(s_max, fl, fs)
+                    stats["a_total"] += rows * t
+                    stats["a_pad"] += rows * t - int(b["feat_lengths"].sum())
+                    stats["h2d_bytes"] += b["pcm"].nbytes
+                    a_shapes[b["pcm"].shape] = a_shapes.get(b["pcm"].shape, 0) + 1
+                    yield b
+
+        class _TalliedVideo:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def epoch(self, idx=0):
+                for b in self.inner.epoch(idx):
+                    rows, t = b["clips"].shape[:2]
+                    stats["v_total"] += rows * t
+                    stats["v_pad"] += rows * t - int(b["lengths"].sum())
+                    stats["h2d_bytes"] += b["clips"].nbytes
+                    v_shapes[b["clips"].shape] = v_shapes.get(b["clips"].shape, 0) + 1
+                    yield b
+
+        def audio_set():
+            return _TalliedAudio(EvalUtteranceSet(utts, num_workers=8, **set_kw))
+
+        def video_set():
+            return _TalliedVideo(VideoClipBatches(
+                clips, batch_size=video_bs, bucket_t=bucket_t, shuffle=False,
+                num_workers=8))
+
+        def protocol():
+            t0 = time.perf_counter()
+            astore = atrainer.extract_embeddings(audio_set())
+            t_a = time.perf_counter() - t0
+            vstore = vtrainer.embedding_store(video_set())
+            t_v = time.perf_counter() - t0 - t_a
+            eer_sf, _ = score_fusion_eer(trials, astore, vstore)
+            eer_ff, _ = feature_fusion_eer(trials, astore, vstore)
+            elapsed = time.perf_counter() - t0
+            return astore, vstore, eer_sf, eer_ff, t_a, t_v, elapsed
+
+        # warm pass: compile every bucket shape (both modalities), absorb
+        # the relay first-transfer stall
+        protocol()
+        for k in stats:
+            stats[k] = 0
+        a_shapes.clear()
+        v_shapes.clear()
+
+        astore, vstore, eer_sf, eer_ff, t_a, t_v, elapsed = protocol()
+        assert len(astore) == N_UNIQUE_UTTS and len(vstore) == N_UNIQUE_UTTS
+        assert np.isfinite(eer_sf) and np.isfinite(eer_ff)
+
+        flops_a = _ragged_flops(jnp, atrainer, a_shapes)
+        flops_v = _video_flops(jnp, vtrainer, v_shapes)
+        flops = (flops_a + flops_v) if (flops_a and flops_v) else None
+
+        extras = {
+            "cpu_tps": cpu_tps,
+            "eer_score_fusion": round(float(eer_sf), 4),
+            "eer_feature_fusion": round(float(eer_ff), 4),
+            "mean_utt_s": round(mean_dur, 3),
+            "video_frames": total_frames,
+            "audio_s": round(t_a, 3),
+            "video_s": round(t_v, 3),
+            "fuse_s": round(elapsed - t_a - t_v, 3),
+            "clips_per_sec": round(N_UNIQUE_UTTS / t_v, 1),
+            "pad_waste_audio": round(
+                stats["a_pad"] / max(stats["a_total"], 1), 4),
+            "pad_waste_video": round(
+                stats["v_pad"] / max(stats["v_total"], 1), 4),
+            "n_batch_shapes": len(a_shapes) + len(v_shapes),
+            "h2d_mb": round(stats["h2d_bytes"] / 1e6, 1),
+        }
+        return N_TRIALS / elapsed, flops, extras
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+
+
+def _video_flops(jnp, vtrainer, shape_counts):
+    """XLA cost-analysis FLOPs of the video frame-feature extraction,
+    weighted per batch shape (mirrors :func:`_ragged_flops`)."""
+    from deeplip_tpu.train.flops import compiled_flops
+
+    state = vtrainer.ensure_state()
+    extract = vtrainer._extract_fn()
+    total = 0.0
+    for shape, n in shape_counts.items():
+        f = compiled_flops(
+            extract, state.params, state.batch_stats,
+            jnp.zeros(shape, jnp.uint8),
+            jnp.ones((shape[0],), jnp.int32),
         )
         if f is None:
             return None

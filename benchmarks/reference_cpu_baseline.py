@@ -89,6 +89,94 @@ def build_torch_etdnn():
     return ETDNN().eval()
 
 
+def build_torch_lipreader():
+    """Fresh torch equivalent of the reference video embedder in its
+    fusion-eval role (``Lipreading(extract_feats=True)``): Conv3D frontend
+    (5,7,7)/(1,2,2) + BN + PReLU + MaxPool3d (``models/video_models/
+    model.py:81-85``) → per-frame stemless ResNet-18 trunk (BasicBlock
+    [2,2,2,2], PReLU, ``resnet.py``) → global avg-pool → (T, 512) frame
+    features. Written from the architecture description to time an
+    equivalent workload, not to be bit-identical."""
+    import torch
+    import torch.nn as nn
+
+    class Basic(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.a1 = nn.PReLU(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.b2 = nn.BatchNorm2d(cout)
+            self.a2 = nn.PReLU(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            r = self.down(x) if self.down else x
+            y = self.b2(self.c2(self.a1(self.b1(self.c1(x)))))
+            return self.a2(y + r)
+
+    class Lip(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.front = nn.Sequential(
+                nn.Conv3d(1, 64, (5, 7, 7), (1, 2, 2), (2, 3, 3), bias=False),
+                nn.BatchNorm3d(64),
+                nn.PReLU(64),
+                nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            )
+            blocks = []
+            cin = 64
+            for cout, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+                blocks += [Basic(cin, cout, stride), Basic(cout, cout, 1)]
+                cin = cout
+            self.trunk = nn.Sequential(*blocks)
+
+        def forward(self, v):  # (1, 1, T, H, W)
+            x = self.front(v)                       # (1, 64, T, H', W')
+            b, c, t, h, w = x.shape
+            x = x.transpose(1, 2).reshape(b * t, c, h, w)
+            x = self.trunk(x)
+            x = x.mean(dim=(2, 3))                  # (T, 512)
+            return x
+
+    return Lip().eval()
+
+
+def main_av(n_clips: int = 8, t_frames: int = 50):
+    """Per-clip batch-1 video extraction cost (the reference's AV eval loop,
+    ``train_fusion.py:341-349``: one ``model_video(v)`` call per clip) —
+    feeds the AV bench profile's CPU baseline (``bench.py`` BENCH_PROFILE=av).
+    """
+    import torch
+
+    model = build_torch_lipreader()
+    rng = np.random.default_rng(1)
+    clips = [rng.standard_normal((t_frames, 88, 88)).astype(np.float32)
+             for _ in range(n_clips)]
+    with torch.no_grad():
+        model(torch.tensor(clips[0][None, None]))  # warm-up
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for c in clips:
+            em = model(torch.tensor(c[None, None]))
+            em.mean(0).numpy()
+    dt = time.perf_counter() - t0
+    out = {
+        "sec_per_clip_video": dt / n_clips,
+        "sec_per_frame_video": dt / n_clips / t_frames,
+        "t_frames": t_frames,
+        "n_clips_sampled": n_clips,
+        "torch_threads": torch.get_num_threads(),
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
 def main(n_sample: int = 30):
     import torch
 
@@ -140,4 +228,8 @@ def main(n_sample: int = 30):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
+    if "--av" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--av"]
+        main_av(int(args[0]) if args else 8)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)

@@ -1,0 +1,281 @@
+"""End-to-end training-loop throughput with the host pipeline attached.
+
+VERDICT r4 missing #2: BENCH.md's training rows are device-pure (fori-loop
+steps on pre-staged batches) and the host pieces were only measured in
+isolation (crop assembly 12-15 ms/batch, C++ decode 12.7k files/s). This
+bench answers the open question in ONE number per trainer: does the real
+`AudioTrainer.train()` / `VideoTrainer.train()` epoch — wav/npz corpus on
+tmpfs, threaded host assembly, H2D staging, jitted device steps, metric
+fetches at the logging cadence, end-of-epoch checkpoint — sustain the
+device-pure step rate, and if not, exactly where does the time go?
+
+Reference analog: the 30-epoch loops of ``/root/reference/train_audio.py:
+96-100,158-214`` (bs-128 DataLoader, 32 workers, per-utterance CPU MFCC in
+the workers) and ``/root/reference/train_video.py:108-169``. The reference
+ships features from host workers; this framework ships raw PCM/uint8 pixels
+and runs the DSP on-device, so its host leg is IO + memcpy only.
+
+Honest-timing notes (benchmarks/_timing.py rules): the epoch wall-clock is
+bounded by real device→host fetches — the trainer fetches loss/acc scalars
+at the logging cadence and unconditionally on the final step (NanGuard), and
+each step's state feeds the next, so the final fetch transitively waits on
+every step. The first-transfer relay stall and all bucket-shape compiles are
+absorbed in a full warm-up epoch. Attribution passes: (a) host-only = drain
+the pipeline with device work stubbed out; (b) device+dispatch = the
+dispatch-loop rate on one pre-staged batch (BENCH.md's "dispatch loop"
+column, re-measured in-session so the comparison shares tunnel state).
+
+Run on the TPU:  python benchmarks/train_hostio.py [audio|video] [steps]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+AUDIO_BATCH = 256
+AUDIO_SPD = 8  # steps_per_dispatch: the recommended grouped recipe
+VIDEO_BATCH = 128
+VIDEO_SPD = 4
+N_SPK_HEAD = 1211  # matches the device-pure row (benchmarks/train_bench.py)
+
+
+def _build_audio(corpus, steps, workers):
+    from __graft_entry__ import AUDIO_DATA_OPTS, ETDNN_MODEL_OPTS
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.core.mesh import make_mesh
+    from deeplip_tpu.data.sampler import SpeakerBatchSampler
+    from deeplip_tpu.data.synthetic import make_audio_corpus
+    from deeplip_tpu.train.audio import AudioTrainer
+
+    make_audio_corpus(corpus, n_spk=36, utts_per_spk=20, duration=3.0)
+    cfg = Config(
+        {
+            "data": {
+                "frames": [200, 400],
+                "train_manifest": os.path.join(corpus, "manifest.csv"),
+                "python_data_config": AUDIO_DATA_OPTS,
+            },
+            "model": ETDNN_MODEL_OPTS,
+            "train": {
+                "type": "sgd", "bs": AUDIO_BATCH, "lr_decay": 0.1,
+                "lr_decay_step": [15, 25], "epoch": 30, "loss": "LMCL",
+                "scale": 30, "margin": [0.2, 0.2],
+                "compute_dtype": "bf16",  # the recommended training recipe
+                "steps_per_dispatch": AUDIO_SPD,
+                "loader_workers": workers,
+                "log_every": 20,
+                "sgd": {"init_lr": 0.01, "weight_decay": 1e-5,
+                        "momentum": 0.9},
+            },
+            "test": {},
+        }
+    )
+    trainer = AudioTrainer(cfg, mesh=make_mesh(), n_spk=N_SPK_HEAD)
+    trainer.exp_dir = os.path.join(corpus, "exp")
+    # The sampler's epoch length follows reference semantics (total corpus
+    # duration / mean crop, datasets.py:42-44) — i.e. corpus size, which
+    # for a synthetic tmpfs corpus is arbitrary. Pin the epoch to exactly
+    # `steps` batches of the production pipeline instead: the host cost per
+    # batch (random crop-and-concat reads) is independent of corpus size.
+    trainer.pipeline.sampler = SpeakerBatchSampler(
+        trainer.pipeline.manifest.n_spk, steps * AUDIO_BATCH, AUDIO_BATCH,
+        (200, 400), 11, 0, bucket_run=AUDIO_SPD,
+    )
+    return trainer
+
+
+def _audio(jax, jnp, steps, workers):
+    from deeplip_tpu.core.mesh import data_sharding
+    from deeplip_tpu.ops.framing import samples_for_frames
+
+    tmp = tempfile.mkdtemp(prefix="deeplip_train_hostio_", dir="/dev/shm")
+    try:
+        trainer = _build_audio(tmp, steps, workers)
+        state = trainer.ensure_state()
+
+        # ---- warm-up epoch: compile every (bucket shape × grouped/tail)
+        # program, absorb the relay first-transfer stall
+        trainer.train(epochs=1)
+
+        # ---- attribution pass (a): host-only pipeline drain
+        t0 = time.perf_counter()
+        n_host = 0
+        h2d_bytes = 0
+        for b in trainer.pipeline.epoch(7):
+            n_host += len(b["labels"])
+            h2d_bytes += b["pcm"].nbytes + b["labels"].nbytes
+        host_s = time.perf_counter() - t0
+        host_eps = n_host / host_s
+
+        # ---- attribution pass (b): device+dispatch rate on one staged
+        # batch (300-frame mean crop), chained through the state, final
+        # metric fetch forces the chain
+        samples = samples_for_frames(300, 0.025, 0.01, 16000)
+        rng = np.random.default_rng(0)
+        pcm = jax.device_put(
+            rng.standard_normal((AUDIO_BATCH, samples)).astype(np.float32),
+            data_sharding(trainer.mesh, 2))
+        labels = jax.device_put(
+            rng.integers(0, N_SPK_HEAD, AUDIO_BATCH).astype(np.int64),
+            data_sharding(trainer.mesh, 1))
+        margin = jnp.float32(0.2)
+        st = state
+        st, m = trainer._train_step(st, pcm, labels, margin)  # compile
+        float(m["loss"])
+        n_disp = 20
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            st, m = trainer._train_step(st, pcm, labels, margin)
+        float(m["loss"])
+        disp_ms = (time.perf_counter() - t0) / n_disp * 1000
+        disp_eps = AUDIO_BATCH / (disp_ms / 1000)
+
+        # ---- the measurement: one full epoch, wall-clocked
+        t0 = time.perf_counter()
+        trainer.train(epochs=2)
+        wall_s = time.perf_counter() - t0
+        n_examples = steps * AUDIO_BATCH
+
+        t0 = time.perf_counter()
+        trainer.save(99)
+        from deeplip_tpu.train import checkpoint as ckpt
+        ckpt.wait_for_saves()
+        ckpt_s = time.perf_counter() - t0
+
+        return {
+            "workload": "audio_etdnn_lmcl_bf16",
+            "batch": AUDIO_BATCH,
+            "steps_per_dispatch": AUDIO_SPD,
+            "loader_workers": workers,
+            "steps": steps,
+            "examples": n_examples,
+            "epoch_wall_s": round(wall_s, 3),
+            "examples_per_sec_sustained": round(n_examples / wall_s, 1),
+            "ms_per_step_sustained": round(wall_s / steps * 1000, 2),
+            "host_only_examples_per_sec": round(host_eps, 1),
+            "host_only_ms_per_batch": round(
+                host_s / (n_host / AUDIO_BATCH) * 1000, 2),
+            "device_dispatch_ms_per_step": round(disp_ms, 2),
+            "device_dispatch_examples_per_sec": round(disp_eps, 1),
+            "h2d_mb_per_epoch": round(h2d_bytes / 1e6, 1),
+            "ckpt_save_s": round(ckpt_s, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _video(jax, jnp, steps, workers):
+    from deeplip_tpu.core.config import Config
+    from deeplip_tpu.core.mesh import data_sharding, make_mesh
+    from deeplip_tpu.data.synthetic import synth_video_clip
+    from deeplip_tpu.data.video_dataset import VideoClip, VideoClipBatches
+    from deeplip_tpu.train.video import VideoTrainer
+
+    tmp = tempfile.mkdtemp(prefix="deeplip_train_hostio_v_", dir="/dev/shm")
+    try:
+        n_clips = steps * VIDEO_BATCH
+        rng = np.random.default_rng(3)
+        clips = []
+        for i in range(n_clips):
+            spk = i % 36
+            t = int(rng.integers(26, 32))  # ragged around the 29-frame mode
+            data = synth_video_clip(rng, speaker_seed=2000 + spk, t=t, size=96)
+            path = os.path.join(tmp, f"s{spk:02d}", f"c{i:05d}.npz")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez(path, data=data)
+            clips.append(VideoClip(path, spk, f"s{spk:02d}/c{i:05d}"))
+
+        trainer = VideoTrainer(
+            Config({"backbone_type": "resnet", "relu_type": "prelu",
+                    "tcn_dropout": 0.2, "tcn_dwpw": False,
+                    "tcn_kernel_size": [3, 5, 7], "tcn_num_layers": 4,
+                    "tcn_width_mult": 1, "width_mult": 1.0}),
+            num_classes=36, crop_size=(88, 88), mesh=make_mesh(),
+            steps_per_dispatch=VIDEO_SPD, compute_dtype="bf16",
+        )
+        trainer.exp_dir = os.path.join(tmp, "exp")
+        trainer.ensure_state()
+
+        def batches():
+            return VideoClipBatches(
+                clips, batch_size=VIDEO_BATCH, bucket_t=4, shuffle=True,
+                num_workers=workers)
+
+        # warm-up epoch (compiles every bucket shape × grouped/tail program)
+        trainer.train(batches(), epochs=1)
+
+        # host-only drain
+        t0 = time.perf_counter()
+        n_host = 0
+        h2d_bytes = 0
+        for b in batches().epoch(5):
+            n_host += len(b["labels"])
+            h2d_bytes += b["clips"].nbytes
+        host_s = time.perf_counter() - t0
+
+        # device+dispatch on one staged batch (T=29 bucket)
+        state = trainer.state
+        sclips = jax.device_put(
+            rng.integers(0, 255, (VIDEO_BATCH, 29, 96, 96), dtype=np.uint8),
+            data_sharding(trainer.mesh, 4))
+        slen = jax.device_put(np.full((VIDEO_BATCH,), 29, np.int32),
+                              data_sharding(trainer.mesh, 1))
+        slab = jax.device_put(
+            rng.integers(0, 36, VIDEO_BATCH).astype(np.int64),
+            data_sharding(trainer.mesh, 1))
+        key = jax.random.PRNGKey(0)
+        st, m = trainer._train_step(state, sclips, slen, slab, key)
+        float(m["loss"])
+        n_disp = 10
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            st, m = trainer._train_step(st, sclips, slen, slab, key)
+        float(m["loss"])
+        disp_ms = (time.perf_counter() - t0) / n_disp * 1000
+
+        t0 = time.perf_counter()
+        trainer.train(batches(), epochs=2)
+        wall_s = time.perf_counter() - t0
+
+        return {
+            "workload": "video_lipreading_bf16",
+            "batch": VIDEO_BATCH,
+            "steps_per_dispatch": VIDEO_SPD,
+            "loader_workers": workers,
+            "steps": steps,
+            "examples": n_clips,
+            "epoch_wall_s": round(wall_s, 3),
+            "clips_per_sec_sustained": round(n_clips / wall_s, 1),
+            "ms_per_step_sustained": round(wall_s / steps * 1000, 2),
+            "host_only_clips_per_sec": round(n_host / host_s, 1),
+            "host_only_ms_per_batch": round(
+                host_s / (n_host / VIDEO_BATCH) * 1000, 2),
+            "device_dispatch_ms_per_step": round(disp_ms, 2),
+            "h2d_mb_per_epoch": round(h2d_bytes / 1e6, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    sys.path.insert(0, "/root/repo")
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "audio"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        64 if which == "audio" else 24)
+    workers = int(os.environ.get("BENCH_WORKERS", "8"))
+    out = (_audio if which == "audio" else _video)(jax, jnp, steps, workers)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -312,6 +312,12 @@ class VideoTrainer:
 
     # ------------------------------------------------------------------
     def _extract_fn(self):
+        # memoized: a fresh jax.jit object per call would re-trace every
+        # bucket shape on each extraction sweep (r5 — the CLI/serve/AV-bench
+        # surfaces call extract_clip_features repeatedly)
+        if getattr(self, "_extract_jit", None) is not None:
+            return self._extract_jit
+
         @jax.jit
         def extract(params, batch_stats, clips_u8, lengths):
             with jax.default_matmul_precision("high"):
@@ -327,26 +333,43 @@ class VideoTrainer:
                 )
             return feats  # (B, T, backend_out)
 
+        self._extract_jit = extract
         return extract
 
     def extract_clip_features(self, batches: VideoClipBatches, out_root: str | None = None):
         """Per-clip ``(1, T, 512)`` frame-feature arrays; optionally saved in
         the reference's ``embedding/<name>.npz`` layout. Returns
-        ``{name: (T_valid, 512) ndarray}``."""
+        ``{name: (T_valid, 512) ndarray}``.
+
+        Like the audio extractor (r4), the next batch's uint8 clips ship
+        host→device (``device_put`` enqueues asynchronously) while the
+        current batch computes and its features fetch — on transport-bound
+        links the H2D is a large share of extraction wall-clock (a 32-clip
+        48-frame bucket is ~14 MB)."""
         state = self.ensure_state()
         extract = self._extract_fn()
         out = {}
-        for batch in batches.epoch(0):
+
+        def drain(names, lengths, staged):
             feats = np.asarray(
-                extract(state.params, state.batch_stats, batch["clips"], batch["lengths"])
-            )
-            for i, name in enumerate(batch["names"]):
-                t = int(batch["lengths"][i])
+                extract(state.params, state.batch_stats, staged, lengths))
+            for i, name in enumerate(names):
+                t = int(lengths[i])
                 out[name] = feats[i, :t]
                 if out_root:
                     path = os.path.join(out_root, name + ".npz")
                     os.makedirs(os.path.dirname(path), exist_ok=True)
                     np.savez(path, data=out[name][None])  # (1, T, 512) parity
+
+        pending = None
+        for batch in batches.epoch(0):
+            staged = (batch["names"], batch["lengths"],
+                      jax.device_put(batch["clips"]))
+            if pending is not None:
+                drain(*pending)
+            pending = staged
+        if pending is not None:
+            drain(*pending)
         return out
 
     def embedding_store(self, batches: VideoClipBatches, name_map=None):
