@@ -37,11 +37,12 @@ import time
 
 import numpy as np
 
-AUDIO_BATCH = 256
+AUDIO_BATCH = int(os.environ.get("BENCH_AUDIO_BATCH", 256))
 AUDIO_SPD = 8  # steps_per_dispatch: the recommended grouped recipe
-VIDEO_BATCH = 128
+VIDEO_BATCH = int(os.environ.get("BENCH_VIDEO_BATCH", 128))
 VIDEO_SPD = 4
-N_SPK_HEAD = 1211  # matches the device-pure row (benchmarks/train_bench.py)
+# matches the device-pure row (benchmarks/train_bench.py)
+N_SPK_HEAD = int(os.environ.get("BENCH_NSPK", 1211))
 
 
 def _build_audio(corpus, steps, workers):
@@ -96,11 +97,14 @@ def _audio(jax, jnp, steps, workers):
     tmp = tempfile.mkdtemp(prefix="deeplip_train_hostio_", dir="/dev/shm")
     try:
         trainer = _build_audio(tmp, steps, workers)
-        state = trainer.ensure_state()
+        trainer.ensure_state()
 
         # ---- warm-up epoch: compile every (bucket shape × grouped/tail)
         # program, absorb the relay first-transfer stall
         trainer.train(epochs=1)
+        # the warmed-up state — the PRE-warm-up TrainState's buffers were
+        # donated into the epoch's steps and no longer exist
+        state = trainer.state
 
         # ---- attribution pass (a): host-only pipeline drain
         t0 = time.perf_counter()
@@ -124,7 +128,9 @@ def _audio(jax, jnp, steps, workers):
             rng.integers(0, N_SPK_HEAD, AUDIO_BATCH).astype(np.int64),
             data_sharding(trainer.mesh, 1))
         margin = jnp.float32(0.2)
-        st = state
+        # run the dispatch loop on a COPY: _train_step donates its input
+        # state, and trainer.state must survive for the timed epoch below
+        st = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
         st, m = trainer._train_step(st, pcm, labels, margin)  # compile
         float(m["loss"])
         n_disp = 20
@@ -229,7 +235,10 @@ def _video(jax, jnp, steps, workers):
             rng.integers(0, 36, VIDEO_BATCH).astype(np.int64),
             data_sharding(trainer.mesh, 1))
         key = jax.random.PRNGKey(0)
-        st, m = trainer._train_step(state, sclips, slen, slab, key)
+        # COPY: _train_step donates state; trainer.state must survive for
+        # the timed epoch below
+        st = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+        st, m = trainer._train_step(st, sclips, slen, slab, key)
         float(m["loss"])
         n_disp = 10
         t0 = time.perf_counter()

@@ -16,7 +16,12 @@ def __getattr__(name):
         from deeplip_tpu.serve.av import AVSpeakerVerifier
 
         return AVSpeakerVerifier
+    if name == "MicroBatcher":
+        from deeplip_tpu.serve.microbatch import MicroBatcher
+
+        return MicroBatcher
     raise AttributeError(name)
 
 
-__all__ = ["AVSpeakerVerifier", "ProfileVerifier", "SpeakerVerifier", "VerifyResult"]
+__all__ = ["AVSpeakerVerifier", "MicroBatcher", "ProfileVerifier",
+           "SpeakerVerifier", "VerifyResult"]

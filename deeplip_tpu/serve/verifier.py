@@ -183,14 +183,36 @@ class ProfileVerifier:
         return eer_from_scores(trials.labels, self._pair_scores(emb, pairs))
 
     # -- decisions -------------------------------------------------------
+    # Each decision is embed → score-on-embedding; the *_embedding methods
+    # take an already-computed embedding so a batching front-end
+    # (:class:`deeplip_tpu.serve.microbatch.MicroBatcher`) can coalesce the
+    # embed dispatches across concurrent requests and finish each request
+    # with the same scoring code the direct calls use.
+    def score_embedding(self, speaker: str, e: np.ndarray) -> float:
+        """:meth:`score` for an already-computed utterance embedding."""
+        if speaker not in self.profiles:
+            raise KeyError(f"speaker {speaker!r} is not enrolled")
+        emb = np.stack([self.profiles[speaker], _l2(e.reshape(-1))])
+        return float(self._pair_scores(emb, np.asarray([[0, 1]]))[0])
+
+    def verify_embedding(self, speaker: str, e: np.ndarray) -> VerifyResult:
+        """:meth:`verify` for an already-computed utterance embedding."""
+        if self.threshold is None:
+            raise ValueError(
+                "no operating threshold: call calibrate(...) or construct "
+                "with threshold=")
+        s = self.score_embedding(speaker, e)
+        return VerifyResult(speaker=speaker, score=s,
+                            threshold=self.threshold,
+                            accept=bool(s >= self.threshold))
+
     def score(self, speaker: str, item) -> float:
         """Similarity between the speaker's profile and ``item``: cosine,
         or its AS-normed value when a cohort is set."""
         if speaker not in self.profiles:
             raise KeyError(f"speaker {speaker!r} is not enrolled")
-        e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
-        emb = np.stack([self.profiles[speaker], e])
-        return float(self._pair_scores(emb, np.asarray([[0, 1]]))[0])
+        e = np.asarray(self._embed_one(item))
+        return self.score_embedding(speaker, e)
 
     def verify(self, speaker: str, item) -> VerifyResult:
         if self.threshold is None:
@@ -202,14 +224,12 @@ class ProfileVerifier:
                             threshold=self.threshold,
                             accept=bool(s >= self.threshold))
 
-    def identify(self, item, top_k: int = 1) -> list[tuple[str, float]]:
-        """Ranked ``(speaker, score)`` over all enrolled profiles (scored
-        like :meth:`score`: raw cosine, or AS-normed when a cohort is set —
-        profile-side cohort stats differ per speaker, so normalization can
-        legitimately change the ranking)."""
+    def identify_embedding(self, e: np.ndarray,
+                           top_k: int = 1) -> list[tuple[str, float]]:
+        """:meth:`identify` for an already-computed utterance embedding."""
         if not self.profiles:
             raise ValueError("no speakers enrolled")
-        e = _l2(np.asarray(self._embed_one(item)).reshape(-1))
+        e = _l2(np.asarray(e).reshape(-1))
         names = list(self.profiles)
         emb = np.stack([self.profiles[n] for n in names] + [e])
         pairs = np.stack([np.arange(len(names)),
@@ -217,6 +237,16 @@ class ProfileVerifier:
         scores = self._pair_scores(emb, pairs)
         order = np.argsort(-scores)[:top_k]
         return [(names[i], float(scores[i])) for i in order]
+
+    def identify(self, item, top_k: int = 1) -> list[tuple[str, float]]:
+        """Ranked ``(speaker, score)`` over all enrolled profiles (scored
+        like :meth:`score`: raw cosine, or AS-normed when a cohort is set —
+        profile-side cohort stats differ per speaker, so normalization can
+        legitimately change the ranking)."""
+        if not self.profiles:
+            raise ValueError("no speakers enrolled")
+        return self.identify_embedding(
+            np.asarray(self._embed_one(item)), top_k=top_k)
 
     # -- persistence -----------------------------------------------------
     def save_profiles(self, out_dir: str) -> None:
@@ -269,11 +299,15 @@ class SpeakerVerifier(ProfileVerifier):
             self.trainer.load_torch_checkpoint(str(checkpoint))
 
     # -- embedding -------------------------------------------------------
-    def _utt_set(self, utts: Sequence[EvalUtterance], reader=None) -> EvalUtteranceSet:
+    def _utt_set(self, utts: Sequence[EvalUtterance], reader=None,
+                 set_overrides: Mapping | None = None) -> EvalUtteranceSet:
         from deeplip_tpu.data.audio_pipeline import eval_set_kwargs
 
         t = self.trainer
-        kw = eval_set_kwargs(t.feat_cfg, t.test_opts)
+        test_opts = dict(t.test_opts)
+        if set_overrides:
+            test_opts.update(set_overrides)
+        kw = eval_set_kwargs(t.feat_cfg, test_opts)
         if reader is not None:
             kw["reader"] = reader
         return EvalUtteranceSet(utts, **kw)
@@ -284,14 +318,19 @@ class SpeakerVerifier(ProfileVerifier):
         return self.trainer.extract_embeddings(self._utt_set(utts))
 
     def embed_pcm(self, named_pcm: Mapping[str, np.ndarray],
-                  rate: int | None = None) -> EmbeddingStore:
+                  rate: int | None = None,
+                  set_overrides: Mapping | None = None) -> EmbeddingStore:
         """Batched embeddings for in-memory PCM ``{name: float32 samples}``
-        (production path: no filesystem round-trip)."""
+        (production path: no filesystem round-trip). ``set_overrides``
+        overlays ``test_opts`` for this call only (the micro-batching
+        front-end pins ``n_buckets: 0`` so online batches reuse a small
+        fixed set of compiled shapes instead of corpus-adaptive edges)."""
         sr = int(rate or self.trainer.feat_cfg.rate)
         table = {n: np.asarray(p, np.float32) for n, p in named_pcm.items()}
         utts = [EvalUtterance(n, n) for n in table]
         reader = lambda key: (table[key], sr)  # noqa: E731
-        return self.trainer.extract_embeddings(self._utt_set(utts, reader=reader))
+        return self.trainer.extract_embeddings(
+            self._utt_set(utts, reader=reader, set_overrides=set_overrides))
 
     def _is_single_item(self, x) -> bool:
         return isinstance(x, (str, np.ndarray))

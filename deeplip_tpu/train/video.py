@@ -372,6 +372,58 @@ class VideoTrainer:
             drain(*pending)
         return out
 
+    def _embed_mean_fn(self):
+        # memoized like _extract_fn (one jit object across sweeps)
+        if getattr(self, "_embed_mean_jit", None) is not None:
+            return self._embed_mean_jit
+        extract = self._extract_fn()
+
+        @jax.jit
+        def embed_mean(params, batch_stats, clips_u8, lengths):
+            feats = extract(params, batch_stats, clips_u8, lengths)
+            # masked time-mean ON DEVICE: pad-frame features are nonzero
+            # (BN shifts), so mask by valid length; summing the same valid
+            # terms plus exact zeros == mean over the valid prefix
+            mask = (jnp.arange(feats.shape[1])[None, :]
+                    < lengths[:, None]).astype(feats.dtype)
+            return (feats * mask[..., None]).sum(axis=1) / jnp.maximum(
+                lengths, 1).astype(feats.dtype)[:, None]
+
+        self._embed_mean_jit = embed_mean
+        return embed_mean
+
+    def extract_clip_embeddings(self, batches: VideoClipBatches) -> dict:
+        """Per-clip time-mean embeddings ``{name: (512,)}`` — the fusion /
+        score back-ends' consumption pattern (``train_fusion.py:274``),
+        with the time reduction ON DEVICE: the full ``(B, T, 512)``
+        frame-feature tensor never crosses device→host (~T× less fetch —
+        ~50× on protocol-length clips; measured material on the AV sweep,
+        BENCH.md "AV protocol"). Use :meth:`extract_clip_features` when the
+        per-frame features themselves are the product (reference
+        ``embedding/*.npz`` layout)."""
+        state = self.ensure_state()
+        embed = self._embed_mean_fn()
+        out = {}
+
+        def drain(names, lengths, staged_clips, staged_lengths):
+            emb = np.asarray(
+                embed(state.params, state.batch_stats, staged_clips,
+                      staged_lengths))
+            for i, name in enumerate(names):
+                out[name] = emb[i]
+
+        pending = None  # one-batch H2D lookahead (as extract_clip_features)
+        for batch in batches.epoch(0):
+            staged = (batch["names"], batch["lengths"],
+                      jax.device_put(batch["clips"]),
+                      jax.device_put(batch["lengths"]))
+            if pending is not None:
+                drain(*pending)
+            pending = staged
+        if pending is not None:
+            drain(*pending)
+        return out
+
     def embedding_store(self, batches: VideoClipBatches, name_map=None):
         """Utterance-level video embeddings: time-mean of per-clip features,
         averaged over each utterance's clip group (the consumption pattern of
@@ -385,11 +437,11 @@ class VideoTrainer:
 
         from deeplip_tpu.eval.scoring import EmbeddingStore
 
-        feats = self.extract_clip_features(batches)
+        means = self.extract_clip_embeddings(batches)
         groups: dict[str, list[np.ndarray]] = defaultdict(list)
-        for clip_name, arr in feats.items():
+        for clip_name, vec in means.items():
             utt = name_map(clip_name) if name_map else clip_name
-            groups[utt].append(arr.mean(axis=0))
+            groups[utt].append(vec)
         store = EmbeddingStore()
         for utt, vecs in groups.items():
             store[utt] = np.mean(vecs, axis=0)

@@ -65,8 +65,24 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--epochs", type=int, default=EPOCHS)
     p.add_argument("--out", default="docs/convergence_fusion_r04")
+    p.add_argument("--n-spk", type=int, default=N_SPK)
+    p.add_argument("--separation", type=float, default=0.06,
+                   help="audio speaker-resonance separation "
+                   "(make_hard_audio_corpus; smaller = closer classes)")
+    p.add_argument("--video-band", type=float, default=1.0,
+                   help="scale on the per-speaker blob-parameter bands "
+                   "(smaller = closer classes)")
+    p.add_argument("--video-noise", type=float, default=0.35,
+                   help="per-frame Gaussian noise floor in the clips")
     args = p.parse_args()
     epochs = args.epochs
+    # VERDICT r4 weak #5: at the r4 defaults (10 spk, band 1.0) both sides
+    # hit 100% held-out accuracy by epoch ~12 and the curve tail carries no
+    # discriminative power. The r5 re-run hardens the corpus — more
+    # speakers, tighter class bands, more noise — so accuracy tops out
+    # below saturation and the curves stay comparable end to end:
+    #   --n-spk 24 --separation 0.03 --video-band 0.4 --video-noise 0.5
+    n_spk = args.n_spk
 
     import numpy as np
     import torch
@@ -83,25 +99,27 @@ def main():
     # ---- shared corpus ---------------------------------------------------
     work = tempfile.mkdtemp(prefix="converge_fusion_")
     print(f"[corpus] {work}", file=sys.stderr)
-    make_hard_audio_corpus(work, n_spk=N_SPK, utts_per_spk=UTTS_PER_SPK,
-                           duration=2.0)
+    make_hard_audio_corpus(work, n_spk=n_spk, utts_per_spk=UTTS_PER_SPK,
+                           duration=2.0, separation=args.separation)
     manifest = SpeakerManifest.load(os.path.join(work, "manifest.csv"))
     pcm_by_spk = []
     for spk in manifest.speakers:
         pcm_by_spk.append([read_wav(u.path)[0] for u in spk])
 
     crng = np.random.default_rng(5)
+    band = args.video_band
     clips_by_spk = []
-    for s in range(N_SPK):
+    for s in range(n_spk):
         srng = np.random.default_rng(1000 + s)
         params = (
-            RAW * (0.5 + srng.uniform(-0.04, 0.04)),
-            RAW * (0.5 + srng.uniform(-0.04, 0.04)),
-            10.0 * (1 + srng.uniform(-0.15, 0.15)),
-            10.0 * (1 + srng.uniform(-0.15, 0.15)),
+            RAW * (0.5 + srng.uniform(-0.04 * band, 0.04 * band)),
+            RAW * (0.5 + srng.uniform(-0.04 * band, 0.04 * band)),
+            10.0 * (1 + srng.uniform(-0.15 * band, 0.15 * band)),
+            10.0 * (1 + srng.uniform(-0.15 * band, 0.15 * band)),
         )
-        clips_by_spk.append([make_hard_clip(crng, params, T_CLIP, RAW)
-                             for _ in range(CLIPS_PER_SPK)])
+        clips_by_spk.append(
+            [make_hard_clip(crng, params, T_CLIP, RAW, noise=args.video_noise)
+             for _ in range(CLIPS_PER_SPK)])
 
     # ---- shared raw batch stream ------------------------------------------
     rng = np.random.default_rng(42)
@@ -111,7 +129,7 @@ def main():
     labels = np.zeros((steps, BS), np.int64)
     for k in range(steps):
         for i in range(BS):
-            spk = (k * BS + i) % N_SPK  # idx % n_spk balance
+            spk = (k * BS + i) % n_spk  # idx % n_spk balance
             y = pcm_by_spk[spk][int(rng.integers(8))]  # train utts 0-7
             start = int(rng.integers(0, len(y) - N_SAMPLES + 1))
             pcm[k, i] = y[start:start + N_SAMPLES]
@@ -122,7 +140,7 @@ def main():
 
     # held-out eval pairs: utts/clips 8-9 of each speaker
     eval_pcm, eval_clips, eval_labels = [], [], []
-    for s in range(N_SPK):
+    for s in range(n_spk):
         for j in (8, 9):
             y = pcm_by_spk[s][j][:N_SAMPLES]
             eval_pcm.append(np.pad(y, (0, N_SAMPLES - len(y))))
@@ -140,11 +158,11 @@ def main():
     hidden = [32, 32, 64]
     torch.manual_seed(0)
     tnet_a = build_torch_net(torch, contexts, [24] + hidden, D).eval()
-    tnet_v = build_torch_lipreading(torch, N_SPK, hidden_dim=8,
+    tnet_v = build_torch_lipreading(torch, n_spk, hidden_dim=8,
                                     tcn_layers=2, layers=(1, 1, 1, 1)).eval()
     thead = build_torch_lowfer(torch, D, o=D, k=30, seed=1)
     thead = thead.float()
-    tcrit = build_torch_ce(torch, 3 * D, N_SPK)
+    tcrit = build_torch_ce(torch, 3 * D, n_spk)
     import copy
 
     # --- pretrain the encoders (the reference freezes PRETRAINED nets,
@@ -154,23 +172,24 @@ def main():
     # ONLY and the resulting snapshots are the study's shared init.
     print("[pretrain] audio encoder...", file=sys.stderr)
     feats_by_utt, labels_by_utt = {}, {}
-    for s in range(N_SPK):
+    for s in range(n_spk):
         for j in range(8):
             name = f"s{s}_u{j}"
             feats_by_utt[name] = numpy_mfcc(
                 pcm_by_spk[s][j].astype(np.float64)).astype(np.float32)
             labels_by_utt[name] = s
-    train_torch_net(torch, tnet_a, feats_by_utt, labels_by_utt, D, N_SPK,
-                    steps=60, bs=16)
+    train_torch_net(torch, tnet_a, feats_by_utt, labels_by_utt, D, n_spk,
+                    steps=60 * max(1, n_spk // N_SPK), bs=16)
 
     print("[pretrain] video encoder...", file=sys.stderr)
     prng = np.random.default_rng(9)
     vopt = torch.optim.Adam(tnet_v.parameters(), lr=1e-3)
     tnet_v.train()
-    for step in range(80):
+    v_pretrain_steps = 80 * max(1, n_spk // N_SPK)
+    for step in range(v_pretrain_steps):
         xs, ys = [], []
         for i in range(8):
-            spk = (step * 8 + i) % N_SPK
+            spk = (step * 8 + i) % n_spk
             c = clips_by_spk[spk][int(prng.integers(8))]
             off2 = (RAW - CROP) // 2
             x = (c[:, off2:off2 + CROP, off2:off2 + CROP].astype(np.float32)
@@ -183,7 +202,7 @@ def main():
         vopt.zero_grad()
         loss.backward()
         vopt.step()
-        if step % 20 == 0 or step == 79:
+        if step % 20 == 0 or step == v_pretrain_steps - 1:
             print(f"  torch video pre-train step {step}: "
                   f"loss {loss.item():.4f}", file=sys.stderr)
     tnet_a.eval()
@@ -280,7 +299,7 @@ def main():
         "win_len": 0.025, "win_shift": 0.01}}
 
     trainer = FusionTrainer(
-        audio_model_opts, video_cfg, n_spk=N_SPK,
+        audio_model_opts, video_cfg, n_spk=n_spk,
         audio_data_opts=audio_data, lr=LR, momentum=MOMENTUM,
         weight_decay=WD, lr_decay_step=tuple(MILESTONES),
         steps_per_epoch=STEPS_PER_EPOCH, crop_size=(CROP, CROP),
@@ -347,8 +366,11 @@ def main():
                                 "(head+criterion only, encoders frozen)",
                    "milestones_epochs": MILESTONES, "bs": BS,
                    "epochs": epochs, "steps_per_epoch": STEPS_PER_EPOCH,
-                   "data": {"n_spk": N_SPK, "t_clip": T_CLIP, "crop": CROP,
-                            "pcm_samples": N_SAMPLES}},
+                   "data": {"n_spk": n_spk, "t_clip": T_CLIP, "crop": CROP,
+                            "pcm_samples": N_SAMPLES,
+                            "separation": args.separation,
+                            "video_band": args.video_band,
+                            "video_noise": args.video_noise}},
         "torch": torch_curve,
         "deeplip_tpu": ours_curve,
         "max_epoch_loss_gap": loss_gap,
@@ -387,7 +409,7 @@ def main():
             f"| {e+1} | {torch_curve['loss'][e]:.4f} | "
             f"{ours_curve['loss'][e]:.4f} | {torch_curve['acc'][e]*100:.1f}% "
             f"| {ours_curve['acc'][e]*100:.1f}% |")
-    n_eval = 2 * N_SPK  # 2 held-out items per speaker
+    n_eval = 2 * n_spk  # 2 held-out items per speaker
     acc_gap_items = abs(
         round(torch_curve["acc"][-1] * n_eval)
         - round(ours_curve["acc"][-1] * n_eval))

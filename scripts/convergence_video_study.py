@@ -59,8 +59,12 @@ LR, WD, T_MAX = 3e-4, 1e-4, 5
 MEAN, STD = 0.421, 0.165
 
 
-def make_hard_clip(rng, srng_params, t, size):
-    """(T, size, size) uint8: near-identical mouth blobs across speakers."""
+def make_hard_clip(rng, srng_params, t, size, noise=0.35):
+    """(T, size, size) uint8: near-identical mouth blobs across speakers.
+
+    ``noise`` scales the per-frame Gaussian noise floor — the fusion
+    study's non-saturating variant raises it so speaker identity stays
+    partially ambiguous at the eval horizon."""
     import numpy as np
 
     cx, cy, sx, sy = srng_params
@@ -70,8 +74,9 @@ def make_hard_clip(rng, srng_params, t, size):
     for i in range(t):
         wob = 1.5 * np.sin(2 * np.pi * i / t + phase)
         blob = np.exp(-(((xx - cx - wob) / sx) ** 2 + ((yy - cy + wob) / sy) ** 2))
-        noise = 0.35 * rng.standard_normal((size, size))
-        frames[i] = np.clip((blob + noise) * 200, 0, 255).astype(np.uint8)
+        frames[i] = np.clip(
+            (blob + noise * rng.standard_normal((size, size))) * 200,
+            0, 255).astype(np.uint8)
     return frames
 
 

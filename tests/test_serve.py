@@ -212,6 +212,107 @@ def test_pair_scores_host_fallback_matches_device():
         assert not m.called
 
 
+def test_microbatcher_matches_direct_calls(verifier):
+    """Batched decisions are the direct calls' decisions: same embeddings
+    (padded batch rows == batch-1 extraction), same scoring code."""
+    from deeplip_tpu.serve import MicroBatcher
+
+    v, utts, _, _ = verifier
+    speakers = list(utts)
+    for s in speakers:
+        v.enroll(s, utts[s][0])
+    v.threshold = 0.5
+    s0 = speakers[0]
+    probe = utts[s0][1]
+
+    with MicroBatcher(v, max_batch=8, max_wait_ms=0) as mb:
+        e_direct = np.asarray(v._embed_one(probe))
+        e_batched = mb.embed(probe)
+        np.testing.assert_allclose(e_batched, e_direct, atol=1e-6, rtol=0)
+
+        assert mb.score(s0, probe) == pytest.approx(v.score(s0, probe),
+                                                    abs=1e-6)
+        r_mb, r_direct = mb.verify(s0, probe), v.verify(s0, probe)
+        assert r_mb.accept == r_direct.accept
+        assert r_mb.score == pytest.approx(r_direct.score, abs=1e-6)
+        assert r_mb.threshold == r_direct.threshold
+
+        top_mb = mb.identify(probe, top_k=len(speakers))
+        top_direct = v.identify(probe, top_k=len(speakers))
+        assert [n for n, _ in top_mb] == [n for n, _ in top_direct]
+
+        # enroll through the batcher: same profile as ProfileVerifier.enroll
+        v.enroll("mb_ref", utts[s0][:2])
+        ref_profile = v.profiles.pop("mb_ref")
+        got = mb.enroll("mb_spk", utts[s0][:2])
+        np.testing.assert_allclose(got, ref_profile, atol=1e-6, rtol=0)
+        assert "mb_spk" in v.profiles
+
+        # str paths accepted (decoded at submit time)
+        assert mb.score(s0, utts[s0][0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_microbatcher_coalesces_concurrent_requests(verifier):
+    """Concurrent callers inside one wait window share ONE embedding
+    dispatch, row counts are padded to powers of two, and every caller
+    still gets its own correct answer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from deeplip_tpu.serve import MicroBatcher
+
+    v, utts, _, _ = verifier
+    speakers = list(utts)
+    for s in speakers:
+        v.enroll(s, utts[s][0])
+    v.threshold = 0.5
+
+    # 3 EQUAL-length probes (corpus wavs have randomized durations and could
+    # land in different length buckets, where 1+2 rows are already pow2)
+    rng = np.random.default_rng(3)
+    probes = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
+              for _ in speakers]
+    expect = [v.score(s, p) for s, p in zip(speakers, probes)]
+
+    mb = MicroBatcher(v, max_batch=8, max_wait_ms=500)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            got = list(pool.map(
+                lambda sp: mb.score(sp[0], sp[1]), zip(speakers, probes)))
+        for g, e in zip(got, expect):
+            assert g == pytest.approx(e, abs=1e-6)
+        # the 500 ms window coalesced all 3 into one dispatch; pow2 row
+        # padding made the 3 equal-length rows a 4-row batch
+        assert mb.n_batches == 1 and mb.n_requests == 3
+        assert mb.n_slots == 4 and mb.n_pad_slots == 1
+        assert mb.mean_batch_slots == 3.0
+    finally:
+        mb.close()
+
+
+def test_microbatcher_errors_and_close(verifier):
+    from deeplip_tpu.serve import MicroBatcher
+
+    v, utts, _, _ = verifier
+    probe = next(iter(utts.values()))[0]
+    saved_thr = v.threshold
+    mb = MicroBatcher(v, max_batch=4, max_wait_ms=0)
+    try:
+        # per-request failures propagate to that caller only
+        with pytest.raises(KeyError):
+            mb.score("nobody", probe)
+        v.threshold = None
+        with pytest.raises(ValueError, match="no operating threshold"):
+            mb.verify(next(iter(utts)), probe)
+        # the batcher survives failed requests
+        e = mb.embed(probe)
+        assert e.ndim == 1 and np.all(np.isfinite(e))
+    finally:
+        v.threshold = saved_thr
+        mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.embed(probe)
+
+
 def _make_av_setup(tmp_path):
     import yaml as _yaml
 

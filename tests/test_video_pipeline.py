@@ -143,6 +143,21 @@ def test_video_trainer_e2e(video_corpus, tmp_path):
     consumed = saved.squeeze(-3) if saved.shape[0] == 1 else saved
     assert consumed.ndim == 2
 
+    # r5: on-device masked time-mean (extract_clip_embeddings) == host
+    # time-mean of the per-frame features — same valid terms, pad frames
+    # masked to exact zeros (f32 reduction-order tolerance only); the
+    # embedding_store built on it groups identically
+    means = trainer.extract_clip_embeddings(
+        VideoClipBatches(clips, batch_size=8, bucket_t=4, shuffle=False))
+    assert set(means) == set(feats)
+    for name in feats:
+        np.testing.assert_allclose(
+            means[name], feats[name].mean(axis=0), atol=2e-5, rtol=0)
+    store = trainer.embedding_store(
+        VideoClipBatches(clips, batch_size=8, bucket_t=4, shuffle=False))
+    np.testing.assert_allclose(store[any_name], means[any_name],
+                               atol=1e-7, rtol=0)
+
 
 def test_grouped_stepping_matches_single(video_corpus, tmp_path):
     """One _train_step_group dispatch == the same K individual _train_step
