@@ -75,6 +75,10 @@ def main() -> None:
     ap.add_argument("--max-wait-ms", type=float, default=20.0,
                     help="MicroBatcher coalescing window (default sized to "
                     "this rig's ~30-60 ms dispatch RTT; use ~2 ms on PCIe)")
+    ap.add_argument("--levels", default=None,
+                    help="comma-separated microbatch concurrency levels")
+    ap.add_argument("--direct-levels", default=None,
+                    help="comma-separated direct-mode concurrency levels")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +96,11 @@ def main() -> None:
     utt_sec = 1.0 if args.smoke else 3.0
     max_batch = 8 if args.smoke else 64
     levels = [1, 2, 4] if args.smoke else [1, 4, 16, 64]
-    direct_levels = [1] if args.smoke else [1, 4]
+    direct_levels = [1] if args.smoke else [1, 4, 16, 64]
+    if args.levels is not None:
+        levels = [int(x) for x in args.levels.split(",") if x]
+    if args.direct_levels is not None:
+        direct_levels = [int(x) for x in args.direct_levels.split(",") if x]
 
     cfg = _train_config(bs=8)
     if args.smoke:

@@ -56,7 +56,19 @@ def assemble_speaker_crop(rng, speaker, samples_num: int, reader,
 
 
 class AudioTrainPipeline:
-    """Speaker-balanced random-crop PCM batches, prefetched on host threads."""
+    """Speaker-balanced random-crop PCM batches, prefetched on host threads.
+
+    ``transport`` mirrors :class:`EvalUtteranceSet`: ``"int16"`` ships the
+    assembled crops host→device as PCM16 (half the float32 bytes — the
+    training epoch's H2D is ~3.3 GB at the reference recipe, measured
+    transport-bound on the dev rig, ``benchmarks/train_hostio.py``);
+    ``"auto"`` (the trainer default) resolves to int16 exactly when every
+    manifest utterance is an integer-PCM16 WAV already at the target rate
+    (header probe, ``audio_io.wav_format``) — then ``round(y·32768)``
+    recovers each stored sample and the device's power-of-two rescale is
+    exact, so the jitted step sees bit-identical float32 PCM. Custom
+    readers / non-PCM16 sources resolve conservatively to float32.
+    """
 
     def __init__(
         self,
@@ -71,7 +83,11 @@ class AudioTrainPipeline:
         num_workers: int = 8,
         reader: Callable = read_wav,
         bucket_run: int = 1,
+        transport: str = "float32",
     ):
+        if transport not in ("float32", "int16", "auto"):
+            raise ValueError(
+                f"transport must be float32|int16|auto, got {transport!r}")
         self.manifest = manifest
         self.rate = rate
         self.win_len = win_len
@@ -83,6 +99,40 @@ class AudioTrainPipeline:
             frame_range, n_buckets, seed, bucket_run=bucket_run,
         )
         self.num_workers = num_workers
+        self.transport = transport
+        self._resolved_transport = None if transport == "auto" else transport
+
+    def _resolve_transport(self) -> str:
+        """Resolve ``"auto"`` by probing every manifest wav header once
+        (threaded; fmt-chunk reads only)."""
+        if self._resolved_transport is None:
+            from deeplip_tpu.data.audio_io import wav_format
+
+            # value-preserving wav decoders (stdlib + the native C++
+            # drop-in, parity-tested in tests/test_native_io.py); custom
+            # readers may transform samples, so they resolve to float32
+            known_readers = [read_wav]
+            try:
+                from deeplip_tpu import native
+
+                known_readers.append(native.read_wav)
+            except Exception:  # pragma: no cover - native module optional
+                pass
+
+            def probe(utt):
+                # int16 is value-exact only for integer-PCM16 sources read
+                # at their native rate == the pipeline rate
+                if (not any(self.reader is r for r in known_readers)
+                        or utt.rate != self.rate):
+                    return False
+                fmt = wav_format(utt.path)
+                return fmt is not None and fmt[0] == 1 and fmt[1] == 16
+
+            utts = [u for spk in self.manifest.speakers for u in spk]
+            ok = all(ThreadedPrefetcher(utts, probe,
+                                        num_workers=self.num_workers))
+            self._resolved_transport = "int16" if (utts and ok) else "float32"
+        return self._resolved_transport
 
     @property
     def n_spk(self) -> int:
@@ -98,6 +148,12 @@ class AudioTrainPipeline:
         for row, sid in enumerate(sids):
             batch[row] = assemble_speaker_crop(
                 rng, self.manifest.speakers[sid], samples_num, self.reader)
+        if self._resolve_transport() == "int16":
+            # exact for PCM16-origin samples: y·32768 lands on the stored
+            # integer (f32 holds |i| < 2^15 exactly); the jitted step's
+            # i/32768.0 rescale is an exact power-of-two division
+            batch = np.clip(np.round(batch * 32768.0), -32768, 32767).astype(
+                np.int16)
         return {
             "pcm": batch,
             "labels": sids.astype(np.int64),

@@ -129,6 +129,16 @@ class MicroBatcher:
         self._closed = True
         self._q.put(None)
         self._thread.join()
+        # a submit() that raced close() may have enqueued after the
+        # sentinel; fail it loudly rather than hanging its caller
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.set_exception(
+                    RuntimeError("MicroBatcher is closed"))
 
     def __enter__(self) -> "MicroBatcher":
         return self

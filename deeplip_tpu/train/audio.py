@@ -224,6 +224,12 @@ class AudioTrainer:
                 num_workers=int(self.train_opts.get("loader_workers", 8)),
                 reader=reader or _py_read_wav,
                 bucket_run=self.steps_per_dispatch,
+                # 'auto' (default): int16 H2D iff every manifest wav is
+                # integer PCM16 at the config rate — value-exact, half the
+                # transfer bytes (the epoch's dominant cost on slow links;
+                # benchmarks/train_hostio.py). train.transport: float32
+                # opts out.
+                transport=str(self.train_opts.get("transport", "auto")),
             )
 
         steps_per_epoch = self.pipeline.batches_per_epoch() if self.pipeline else 1
@@ -305,9 +311,20 @@ class AudioTrainer:
             return self.criterion.apply({"params": params}, emb, labels, margin=margin)
         return self.criterion.apply({"params": params}, emb, labels)
 
+    @staticmethod
+    def _pcm_f32(pcm):
+        # int16 train transport (AudioTrainPipeline(transport='int16'|'auto')):
+        # exact power-of-two rescale — the step sees bit-identical float32
+        # PCM to the float32 transport for PCM16-origin crops
+        if pcm.dtype == jnp.int16:
+            return pcm.astype(jnp.float32) / 32768.0
+        return pcm
+
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, pcm, labels, margin):
-        feats = F.extract_features(pcm, self.train_feat_cfg, backend=self.feature_backend)
+        feats = F.extract_features(
+            self._pcm_f32(pcm), self.train_feat_cfg,
+            backend=self.feature_backend)
         return self._step_on_features(state, feats, labels, margin)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -321,7 +338,8 @@ class AudioTrainer:
         def body(state, batch):
             p, l = batch
             feats = F.extract_features(
-                p, self.train_feat_cfg, backend=self.feature_backend)
+                self._pcm_f32(p), self.train_feat_cfg,
+                backend=self.feature_backend)
             state, metrics = self._step_on_features(state, feats, l, margin)
             return state, metrics
 
