@@ -74,6 +74,37 @@ def _read_wav_stdlib(path, start, stop, mono):
     return data, rate
 
 
+def read_wav_int16(
+    path: str, start: int = 0, stop: int | None = None, mono: bool = True
+) -> tuple[np.ndarray, int]:
+    """Raw PCM16 samples with NO float conversion; returns ``(int16, rate)``.
+
+    The int16-transport assembly fast path: for integer-PCM16 WAVs (the
+    ``wav_format`` probe's gate) the returned values equal
+    ``round(read_wav(...)[0] * 32768)`` bit-exactly — reading them raw
+    skips the int16→float32→int16 round-trip entirely, leaving the host
+    leg pure IO + memcpy (measured ~190 ms/batch of per-sample float work
+    at the bs-256 training shape, ``benchmarks/train_hostio.py``).
+    Only valid for PCM16 files; other widths raise.
+    """
+    with wave.open(path, "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"{path}: not PCM16 (use read_wav)")
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        stop = n_frames if stop is None else min(stop, n_frames)
+        start = min(start, stop)
+        w.setpos(start)
+        raw = w.readframes(stop - start)
+    data = np.frombuffer(raw, dtype="<i2")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels)
+        if mono:
+            data = data[:, 0]
+    return data, rate
+
+
 def _read_wav_riff(path, start, stop, mono):
     """Minimal RIFF walk for formats stdlib wave rejects (IEEE float32,
     WAVE_FORMAT_EXTENSIBLE) — mirrors native/wavio.cpp parse_header."""

@@ -144,16 +144,30 @@ class AudioTrainPipeline:
     def _assemble(self, sids: np.ndarray, n_frames: int, seed: tuple) -> dict:
         rng = np.random.default_rng(seed)
         samples_num = samples_for_frames(n_frames, self.win_len, self.win_shift, self.rate)
-        batch = np.zeros((len(sids), samples_num), np.float32)
+        i16 = self._resolve_transport() == "int16"
+        if i16 and self.reader is read_wav:
+            # fast path: read the stored PCM16 integers raw and assemble in
+            # int16 — no float round-trip at all (same rng draws, so the
+            # crop concatenation is the same samples bit-exactly)
+            from deeplip_tpu.data.audio_io import read_wav_int16
+
+            batch = np.zeros((len(sids), samples_num), np.int16)
+            reader = read_wav_int16
+        else:
+            batch = np.zeros((len(sids), samples_num), np.float32)
+            reader = self.reader
         for row, sid in enumerate(sids):
             batch[row] = assemble_speaker_crop(
-                rng, self.manifest.speakers[sid], samples_num, self.reader)
-        if self._resolve_transport() == "int16":
+                rng, self.manifest.speakers[sid], samples_num, reader)
+        if i16 and batch.dtype != np.int16:
             # exact for PCM16-origin samples: y·32768 lands on the stored
             # integer (f32 holds |i| < 2^15 exactly); the jitted step's
-            # i/32768.0 rescale is an exact power-of-two division
-            batch = np.clip(np.round(batch * 32768.0), -32768, 32767).astype(
-                np.int16)
+            # i/32768.0 rescale is an exact power-of-two division.
+            # In-place ufuncs: one temporary (the final astype), not three.
+            np.multiply(batch, 32768.0, out=batch)
+            np.rint(batch, out=batch)
+            np.clip(batch, -32768.0, 32767.0, out=batch)
+            batch = batch.astype(np.int16)
         return {
             "pcm": batch,
             "labels": sids.astype(np.int64),

@@ -293,3 +293,31 @@ def test_native_npz_rejects_corrupt_archives(tmp_path):
     # and a good archive still round-trips after all that
     (got,) = native.read_npy_batch([good_p], key="data")
     np.testing.assert_array_equal(got, arr)
+
+
+def test_read_wav_int16_matches_float_reader(wavs, tmp_path):
+    """r5 int16-transport fast path: raw PCM16 reads must equal
+    round(read_wav(...)*32768) bit-exactly (incl. offsets and stereo
+    channel-0), and non-PCM16 widths must raise rather than mis-decode."""
+    from deeplip_tpu.data.audio_io import read_wav_int16
+
+    for p in wavs:
+        f, rate_f = read_wav(p)
+        i, rate_i = read_wav_int16(p)
+        assert rate_f == rate_i and i.dtype == np.int16
+        np.testing.assert_array_equal(
+            i, np.round(f * 32768.0).astype(np.int16))
+
+    f, _ = read_wav(wavs[0], start=1000, stop=5000)
+    i, _ = read_wav_int16(wavs[0], start=1000, stop=5000)
+    np.testing.assert_array_equal(i, np.round(f * 32768.0).astype(np.int16))
+
+    # 8-bit file -> loud error, not silent garbage
+    p8 = str(tmp_path / "w8.wav")
+    with wave.open(p8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(200)))
+    with pytest.raises(ValueError, match="not PCM16"):
+        read_wav_int16(p8)
