@@ -346,6 +346,22 @@ class EvalUtteranceSet:
             y = resample(y, sr, self.rate)
         return utt.name, y.astype(np.float32)
 
+    def _load_int16(self, utt: EvalUtterance, s_max: int) -> np.ndarray | None:
+        """Raw-PCM16 decode for the int16 transport (r5): read the STORED
+        samples — identical values to ``round(read_wav(...)·32768)``,
+        half the decode memcpy, zero float work. Returns ``None`` (→ the
+        float path + conversion) when the source is not plain PCM16 at the
+        target rate or a custom reader is installed."""
+        if self.reader is not read_wav:
+            return None
+        from deeplip_tpu.data.audio_io import read_wav_int16
+
+        try:
+            y, sr = read_wav_int16(utt.path, stop=s_max)
+        except Exception:
+            return None
+        return y if sr == self.rate else None
+
     def _utt_samples(
         self, utt: EvalUtterance
     ) -> tuple[EvalUtterance, int, bool]:
@@ -393,12 +409,15 @@ class EvalUtteranceSet:
         sample_lengths = np.zeros((len(chunk),), np.int32)
         names = []
         for row, (utt, t, _) in enumerate(chunk):
-            _, y = self._load(utt)
-            y = y[:s_max]
-            if i16:
-                # exact for PCM16-origin samples: y·32768 lands on the
-                # stored integer (f32 holds |i|<2¹⁵ exactly)
-                y = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+            y = self._load_int16(utt, s_max) if i16 else None
+            if y is None:
+                _, y = self._load(utt)
+                y = y[:s_max]
+                if i16:
+                    # exact for PCM16-origin samples: y·32768 lands on the
+                    # stored integer (f32 holds |i|<2¹⁵ exactly)
+                    y = np.clip(np.round(y * 32768.0), -32768,
+                                32767).astype(np.int16)
             pcm[row, : len(y)] = y
             lengths[row] = t
             # true PCM length: the device front-end masks pre-emphasis here

@@ -382,11 +382,11 @@ def main():
         json.dump(report, fjson, indent=2)
 
     lines = [
-        "# AV-fusion convergence study — torch reference recipe vs deeplip_tpu (r4)",
+        "# AV-fusion convergence study — torch reference recipe vs deeplip_tpu",
         "",
         "Epoch-scale companion to the 10-step f64 fusion train parity",
         "(`docs/train_parity_fusion_r03.json`, live-param drift 5.2e-8):",
-        "one shared synthetic AV corpus (hard audio + hard lip clips, 10",
+        f"one shared synthetic AV corpus (hard audio + hard lip clips, {n_spk}",
         "speakers), encoders PRETRAINED in torch then snapshotted as the",
         "shared init — the reference freezes PRETRAINED nets",
         "(`train_fusion.py:191-201`); with random encoders the lr-0.5 head",
