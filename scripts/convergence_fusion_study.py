@@ -413,14 +413,17 @@ def main():
     acc_gap_items = abs(
         round(torch_curve["acc"][-1] * n_eval)
         - round(ours_curve["acc"][-1] * n_eval))
+    p_mean = (torch_curve["acc"][-1] + ours_curve["acc"][-1]) / 2
+    sigma_items = float(np.sqrt(n_eval * p_mean * max(1 - p_mean, 1e-9)))
     lines += [
         "",
         f"Max per-epoch mean-loss gap: **{loss_gap:.4f}**; final held-out "
         f"accuracy torch **{torch_curve['acc'][-1]*100:.1f}%** vs deeplip "
         f"**{ours_curve['acc'][-1]*100:.1f}%** — the eval set is {n_eval} "
         f"clips (2 held-out per speaker), so the final gap is "
-        f"{acc_gap_items} decision(s), inside the binomial noise of a "
-        f"{n_eval}-item eval (±1σ ≈ 5-7 points at these accuracies).",
+        f"{acc_gap_items} decision(s) ≈ "
+        f"{acc_gap_items / max(sigma_items, 1e-9):.1f}σ of a {n_eval}-item "
+        f"binomial at these accuracies (1σ ≈ {sigma_items:.1f} items).",
         "",
         "Interpretation: identical init + identical raw batches + identical",
         "recipe; the two sides' embedding pipelines agree to ~1e-6 per step",
