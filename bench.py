@@ -632,9 +632,12 @@ def _av_sweep(jax, jnp):
             return _TalliedAudio(EvalUtteranceSet(utts, num_workers=8, **set_kw))
 
         def video_set():
+            # pre_crop: host center-crop to the eval crop size — the device
+            # transform's center_crop becomes an identity slice (bit-equal,
+            # tested) and the clip H2D drops 16% (96→88)
             return _TalliedVideo(VideoClipBatches(
                 clips, batch_size=video_bs, bucket_t=bucket_t, shuffle=False,
-                num_workers=8))
+                num_workers=8, pre_crop=vtrainer.crop_size))
 
         def protocol():
             t0 = time.perf_counter()

@@ -77,6 +77,7 @@ def main(argv=None) -> None:
         batches = VideoClipBatches(
             clips, batch_size=args.batch_size, bucket_t=args.bucket_t,
             shuffle=False, num_workers=args.workers,
+            pre_crop=trainer.crop_size,  # eval-exact; 16% less uint8 H2D
         )
         out = trainer.extract_clip_features(batches, args.mouth_embedding_out_path)
         print(f"extracted {len(out)} clip feature arrays")

@@ -124,6 +124,7 @@ class VideoClipBatches:
         seed: int = 0,
         num_workers: int = 4,
         max_frames: int | None = None,
+        pre_crop: tuple[int, int] | None = None,
     ):
         self.clips = list(clips)
         self.batch_size = batch_size
@@ -132,6 +133,13 @@ class VideoClipBatches:
         self.seed = seed
         self.num_workers = num_workers
         self.max_frames = max_frames
+        # EVAL-ONLY: center-crop clips on host before shipping. The device
+        # eval transform's center_crop becomes an identity slice, so
+        # extraction results are bit-identical while the uint8 H2D drops by
+        # 1-(th·tw)/(H·W) (16% at 96→88 — the AV sweep ships 1.7 GB of
+        # clips and is transport-bound on the dev rig). Must stay None for
+        # TRAINING batches: random_crop needs the full frame.
+        self.pre_crop = tuple(pre_crop) if pre_crop else None
 
     @property
     def n_classes(self) -> int:
@@ -198,6 +206,14 @@ class VideoClipBatches:
                                 num_threads=self.num_workers)
             if self.max_frames:
                 arrays = [a[: self.max_frames] for a in arrays]
+            if self.pre_crop:
+                # same offset formula as ops/video.center_crop
+                # (preprocess.py:74-92) so the composition is exact
+                th, tw = self.pre_crop
+                h0, w0 = arrays[0].shape[1:]
+                dh = int(round((h0 - th)) / 2.0)
+                dw = int(round((w0 - tw)) / 2.0)
+                arrays = [a[:, dh:dh + th, dw:dw + tw] for a in arrays]
             bucket_frames = max(
                 -(-t // self.bucket_t) * self.bucket_t for _, t in chunk)
             h, w = arrays[0].shape[1:]

@@ -314,3 +314,37 @@ def test_mesh_pad_rows_mask_like_their_source(tmp_path):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                       err_msg=str(pa))
+
+
+def test_pre_crop_extraction_matches_device_crop(video_corpus, tmp_path):
+    """r5 H2D saver: `VideoClipBatches(pre_crop=crop_size)` ships
+    host-center-cropped clips; the device eval transform's center_crop
+    becomes an identity slice, so extraction must match the full-frame
+    path (same uint8 values into the same math — f32 roundoff only)."""
+    clips = scan_clip_dir(video_corpus)
+    trainer = VideoTrainer(
+        TINY_VIDEO_CFG, num_classes=3, mesh=make_mesh(),
+        crop_size=(32, 32), exp_root=str(tmp_path / "exp"), log_time="pc0",
+        hidden_dim=12, trunk_layers=(1, 1, 1, 1))
+    trainer.ensure_state()
+
+    full = VideoClipBatches(clips, batch_size=8, bucket_t=4, shuffle=False)
+    pre = VideoClipBatches(clips, batch_size=8, bucket_t=4, shuffle=False,
+                           pre_crop=trainer.crop_size)
+    b_full = next(iter(full.epoch(0)))
+    b_pre = next(iter(pre.epoch(0)))
+    assert b_pre["clips"].shape[2:] == (32, 32)
+    assert b_full["clips"].shape[2:] == (96, 96)
+    # host crop == the device crop's slice of the shipped frames
+    from deeplip_tpu.ops import video as V
+
+    np.testing.assert_array_equal(
+        b_pre["clips"],
+        np.asarray(V.center_crop(jnp.asarray(b_full["clips"]), (32, 32))))
+
+    f_full = trainer.extract_clip_features(full)
+    f_pre = trainer.extract_clip_features(pre)
+    assert set(f_full) == set(f_pre)
+    for name in f_full:
+        np.testing.assert_allclose(f_pre[name], f_full[name],
+                                   atol=2e-6, rtol=0)
