@@ -346,6 +346,23 @@ class EvalUtteranceSet:
             y = resample(y, sr, self.rate)
         return utt.name, y.astype(np.float32)
 
+    def _value_preserving_reader(self) -> bool:
+        """True when ``self.reader`` is a known value-preserving wav decoder
+        (stdlib ``read_wav`` or the native C++ drop-in, parity-tested in
+        tests/test_native_io.py). ``transport="auto"`` may only resolve to
+        int16 under one of these — a custom reader can transform samples,
+        and quantizing transformed floats would break auto's value-exactness
+        contract (the float path + round(y·32768) is exact only for stored
+        PCM16 values)."""
+        known = [read_wav]
+        try:
+            from deeplip_tpu import native
+
+            known.append(native.read_wav)
+        except Exception:  # pragma: no cover - native module optional
+            pass
+        return any(self.reader is r for r in known)
+
     def _load_int16(self, utt: EvalUtterance, s_max: int) -> np.ndarray | None:
         """Raw-PCM16 decode for the int16 transport (r5): read the STORED
         samples — identical values to ``round(read_wav(...)·32768)``,
@@ -381,7 +398,8 @@ class EvalUtteranceSet:
                 y, rate = self.reader(utt.path)
                 n = len(y)
         i16_ok = False
-        if self.transport == "auto" and rate == self.rate:
+        if (self.transport == "auto" and rate == self.rate
+                and self._value_preserving_reader()):
             from deeplip_tpu.data.audio_io import wav_format
 
             fmt = wav_format(utt.path)

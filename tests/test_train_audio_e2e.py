@@ -286,6 +286,22 @@ def test_auto_transport_resolution(corpus, tmp_path):
     res, dtypes = resolve(utts + [EvalUtterance("r8k", wp)])
     assert res == "float32" and dtypes == {"float32"}
 
+    # a CUSTOM reader (may transform samples — here: a gain) must resolve
+    # to float32 even over an all-PCM16 corpus: quantizing transformed
+    # floats would not be value-exact (r5 self-review fix)
+    from deeplip_tpu.data.audio_io import read_wav
+
+    def gain_reader(path):
+        y, sr = read_wav(path)
+        return y * 0.5, sr
+
+    es = EvalUtteranceSet(utts, batch_size=2, bucket_frames=50,
+                          num_workers=1, transport="auto",
+                          reader=gain_reader)
+    batches = list(es.batches())
+    assert es._resolved_transport == "float32"
+    assert {b["pcm"].dtype.name for b in batches} == {"float32"}
+
 
 def test_eval_set_kwargs_defaults():
     """r5 (VERDICT r4 #3): the measured eval wins are the shipped defaults —
